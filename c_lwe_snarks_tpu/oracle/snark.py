@@ -1,0 +1,179 @@
+"""Host oracle for the full SNARK protocol (src/snark.{h,c}).
+
+Designated-verifier zk-SNARK from LWE over SSPs (GMNO18).  This is the
+bit-exactness referee for the TPU pipeline: same structs, same PRG stream
+layout (one sequential stream through setup so section offsets land on
+CTR_S/CTR_AS/CTR_BT/CTR_BV, src/snark.h:8-12 and src/snark.c:75-110),
+same prover dataflow (src/snark.c:117-190) including the v_w-smudged-twice
+quirk, same verifier checks (src/snark.c:192-250).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..utils.params import Params
+from . import lwe, poly
+from .prg import AesCtrStream, EntropySource
+from .ssp import SSP
+
+
+@dataclasses.dataclass
+class CRS:
+    """seed + compressed ciphertext arrays (src/snark.h:31-37)."""
+
+    seed: bytes  # 40 bytes: nonce (8) || key (32)
+    s: list[bytes]  # d entries, Enc(s^i)
+    as_: list[bytes]  # d entries, Enc(alpha * s^i)
+    t: bytes  # Enc(beta * t(s))
+    v: list[bytes]  # m-1 entries, Enc(beta * v_i(s)), i in [1, m)
+
+
+@dataclasses.dataclass
+class VRS:
+    """Designated-verifier trapdoor (src/snark.h:23-29)."""
+
+    alpha: int
+    beta: int
+    s: int
+    sk: list[int]
+
+
+@dataclasses.dataclass
+class Proof:
+    """Five ciphertexts (src/snark.h:14-20)."""
+
+    h: lwe.Ciphertext
+    hat_h: lwe.Ciphertext
+    hat_v: lwe.Ciphertext
+    v_w: lwe.Ciphertext
+    b_w: lwe.Ciphertext
+
+
+def setup(
+    params: Params, ssp: SSP, entropy: EntropySource, seed: bytes | None = None
+) -> tuple[CRS, VRS]:
+    """src/snark.c:57-115: CRS/VRS generation.
+
+    One sequential PRG stream keyed by the CRS seed encrypts, in order:
+    s^i for i<d, alpha*s^i for i<d, beta*t(s), beta*v_i(s) for 1<=i<m.
+    """
+    if seed is None:
+        seed = entropy.getrandom(40)
+    prg = AesCtrStream.from_seed(seed)
+
+    alpha = entropy.rand_modp(params.p)
+    beta = entropy.rand_modp(params.p)
+    s = entropy.rand_modp(params.p)
+    sk = lwe.key_gen(params, entropy)
+    vrs = VRS(alpha=alpha, beta=beta, s=s, sk=sk)
+
+    p = params.p
+    crs_s, crs_as = [], []
+    s_i = 1
+    for _ in range(params.d):
+        ct = lwe.encrypt(params, prg, sk, s_i, entropy)
+        crs_s.append(lwe.ct_export(params, ct))
+        s_i = (s_i * s) % p
+    as_i = alpha
+    for _ in range(params.d):
+        ct = lwe.encrypt(params, prg, sk, as_i, entropy)
+        crs_as.append(lwe.ct_export(params, ct))
+        as_i = (as_i * s) % p
+
+    bts = poly.poly_eval(ssp.t, s) * beta % p
+    ct = lwe.encrypt(params, prg, sk, bts, entropy)
+    crs_t = lwe.ct_export(params, ct)
+
+    crs_v = []
+    for i in range(1, params.m):
+        bvs = poly.poly_eval(ssp.v[i], s) * beta % p
+        ct = lwe.encrypt(params, prg, sk, bvs, entropy)
+        crs_v.append(lwe.ct_export(params, ct))
+
+    return CRS(seed=seed, s=crs_s, as_=crs_as, t=crs_t, v=crs_v), vrs
+
+
+def prover(
+    params: Params, crs: CRS, ssp: SSP, witness: int, entropy: EntropySource
+) -> Proof:
+    """src/snark.c:117-190."""
+    prg = AesCtrStream.from_seed(crs.seed)
+    p = params.p
+
+    delta = entropy.rand_modp(p)
+    w = poly.poly_scalar_mul(ssp.t, delta)
+
+    # b_w = delta*Enc(beta t) + sum_{witness bit i-1} Enc(beta v_i)
+    prg.seek(params.ctr_bt)
+    b_w = lwe.ct_import(params, prg, crs.t)
+    b_w = lwe.ct_mul_ui(params, b_w, delta)
+    for i in range(1, params.m):
+        ct_vi = lwe.ct_import(params, prg, crs.v[i - 1])
+        if (witness >> (i - 1)) & 1:
+            w = poly.poly_add(w, ssp.v[i])
+            b_w = lwe.ct_add(params, b_w, ct_vi)
+
+    # v_w = Eval(w over Enc(s^i))
+    prg.seek(params.ctr_s)
+    v_w = lwe.eval_poly(params, prg, crs.s, w, params.d)
+
+    # v = v_0 + w  (l_u = 0 assumed, src/snark.c:160-162)
+    w = poly.poly_add(w, ssp.v[0])
+    prg.seek(params.ctr_as)
+    hat_v = lwe.eval_poly(params, prg, crs.as_, w, params.d)
+
+    # h = (v^2 - 1) / t
+    h = poly.poly_div(poly.poly_sub(poly.poly_mul(w, w), [1]), ssp.t)
+
+    prg.seek(params.ctr_s)
+    h_ct = lwe.eval_poly(params, prg, crs.s, h, params.d)
+    prg.seek(params.ctr_as)
+    hat_h = lwe.eval_poly(params, prg, crs.as_, h, params.d)
+
+    pi = Proof(h=h_ct, hat_h=hat_h, hat_v=hat_v, v_w=v_w, b_w=b_w)
+    # Smudge order per src/snark.c:184-189: h, hat_h, hat_v, v_w, v_w.
+    # (v_w twice, b_w never — reference quirk preserved for conformance.)
+    lwe.smudge(params, pi.h, entropy)
+    lwe.smudge(params, pi.hat_h, entropy)
+    lwe.smudge(params, pi.hat_v, entropy)
+    lwe.smudge(params, pi.v_w, entropy)
+    lwe.smudge(params, pi.v_w, entropy)
+    return pi
+
+
+def verifier(params: Params, ssp: SSP, vrs: VRS, pi: Proof) -> bool:
+    """src/snark.c:192-250: decrypt the proof, check mod-p relations."""
+    p = params.p
+    t_s = poly.poly_eval(ssp.t, vrs.s)
+
+    h_s = lwe.decrypt(params, vrs.sk, pi.h)
+    hath_s = lwe.decrypt(params, vrs.sk, pi.hat_h)
+    hatv_s = lwe.decrypt(params, vrs.sk, pi.hat_v)
+    w_s = lwe.decrypt(params, vrs.sk, pi.v_w)
+    b_s = lwe.decrypt(params, vrs.sk, pi.b_w)
+
+    v_s = (poly.poly_eval(ssp.v[0], vrs.s) + w_s) % p
+
+    # eq-pke
+    if h_s * vrs.alpha % p != hath_s:
+        return False
+    if v_s * vrs.alpha % p != hatv_s:
+        return False
+    # eq-div
+    if (v_s * v_s - 1 - h_s * t_s) % p != 0:
+        return False
+    # eq-lin
+    if w_s * vrs.beta % p != b_s:
+        return False
+    # test-error (src/snark.c:237-241): ceil(-<b_w.a, sk> mod 2^704 / p)
+    # must be "small".  The reference compares the GMP limb count against
+    # a byte-derived bound (640/8 = 80 limbs = 5120 bits); any mod-2^704
+    # value passes, so the check is vacuous at these params — kept for
+    # parity.
+    dot = lwe.modq(sum(a * s for a, s in zip(pi.b_w.a, vrs.sk)), params)
+    test = -dot
+    test = -(-test // p)  # ceiling division of a negative value
+    if abs(test) >= 1 << (8 * (params.log_smudging // 8) * 8):
+        return False
+    return True
