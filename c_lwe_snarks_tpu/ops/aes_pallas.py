@@ -1,0 +1,191 @@
+"""Pallas TPU kernel for the bitsliced AES-256-CTR keystream.
+
+The pure-jnp circuit in aes_tpu.py is correct but HBM-bound (~0.4 GB/s:
+XLA spills plane intermediates between gate ops).  This kernel keeps the
+entire 14-round cipher state in VMEM per tile, so the only HBM traffic is
+the output keystream itself and throughput is VPU-gate-count-bound.
+
+Layout (chosen for Mosaic): the state is 8 separate uint32 arrays of
+shape [16, Wt] — one per *bit* position, rows indexed q = 4r + c (row-
+major FIPS state), lanes = 32-block groups.  Every S-box gate is then a
+full-tile elementwise op with no relayouts; ShiftRows is a static
+rotation of 4-row groups; MixColumns slices row groups [4, Wt].
+
+Same (nonce || counter) block structure as src/aes.c:104-144; bit-exact
+against the host oracle (tests/test_aes_tpu.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..oracle import aes as host_aes
+from .aes_tpu import _xtime_bits
+from .gf_tower import sbox_tower_bits as _sbox_bits
+from .bitslice import transpose32
+
+# row q = 4r + c  <->  FIPS input byte i = r + 4c
+_ROW_OF_BYTE = [4 * (i % 4) + i // 4 for i in range(16)]  # q for byte i
+_BYTE_OF_ROW = [q // 4 + 4 * (q % 4) for q in range(16)]  # i for row q
+
+
+def _shift_rows_rm(planes):
+    """new[r][c] = old[r][(c+r)%4]: rotate each 4-row group left by r."""
+    out = []
+    for s in planes:
+        gs = [s[4 * r : 4 * (r + 1)] for r in range(4)]
+        gs = [
+            g if r == 0 else jnp.concatenate([g[r:], g[:r]], axis=0)
+            for r, g in enumerate(gs)
+        ]
+        out.append(jnp.concatenate(gs, axis=0))
+    return out
+
+
+def _mix_columns_rm(planes):
+    a = [[p.reshape(4, 4, p.shape[-1])[r] for p in planes] for r in range(4)]
+    t = [a[0][k] ^ a[1][k] ^ a[2][k] ^ a[3][k] for k in range(8)]
+    new = []
+    for r in range(4):
+        u = [a[r][k] ^ a[(r + 1) % 4][k] for k in range(8)]
+        xt = _xtime_bits(u)
+        new.append([a[r][k] ^ t[k] ^ xt[k] for k in range(8)])
+    return [
+        jnp.concatenate([new[0][k], new[1][k], new[2][k], new[3][k]], axis=0)
+        for k in range(8)
+    ]
+
+
+def _kernel(start_ref, rk_ref, const_ref, out_ref, *, tile_w: int):
+    i = pl.program_id(0)
+    base_lo = start_ref[0] + jnp.uint32(i * tile_w * 32)
+    carry0 = (base_lo < start_ref[0]).astype(jnp.uint32)
+    base_hi = start_ref[1] + carry0
+
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (tile_w, 32), 1) + (
+        jax.lax.broadcasted_iota(jnp.uint32, (tile_w, 32), 0) * jnp.uint32(32)
+    )
+    lo = base_lo + idx  # [Wt, 32]
+    hi = base_hi + (lo < base_lo).astype(jnp.uint32)
+    lo_p = transpose32(lo.T)  # [32, Wt]: row = ctr-lo bit
+    hi_p = transpose32(hi.T)
+
+    # Assemble initial state: 8 planes [16, Wt]; nonce rows are constant
+    # (from const_ref), counter rows come from the transposed planes.
+    planes = []
+    for k in range(8):
+        rows = []
+        for q in range(16):
+            byte = _BYTE_OF_ROW[q]
+            if byte < 8:  # nonce byte: constant plane
+                rows.append(jnp.full((1, tile_w), const_ref[k, q], jnp.uint32))
+            else:
+                j = byte - 8
+                src = lo_p if j < 4 else hi_p
+                rows.append(src[8 * (j % 4) + k][None, :])
+        planes.append(jnp.concatenate(rows, axis=0))
+
+    def ark(planes, rnd):
+        return [p ^ rk_ref[rnd, k] for k, p in enumerate(planes)]
+
+    planes = ark(planes, 0)
+
+    def round_fn(rnd, planes):
+        planes = _sbox_bits(planes)
+        planes = _shift_rows_rm(planes)
+        planes = _mix_columns_rm(planes)
+        return [p ^ rk_ref[rnd, k] for k, p in enumerate(planes)]
+
+    planes = jax.lax.fori_loop(1, 14, round_fn, planes, unroll=False)
+    planes = _sbox_bits(planes)
+    planes = _shift_rows_rm(planes)
+    planes = ark(planes, 14)
+
+    # un-bitslice: row 4b+g of the output tile = LE word g of block (w, b),
+    # so that [Wt, 128] (after the caller's 2D transpose) bitcasts to the
+    # flat keystream byte order w*512 + 16b + 4g + gg.
+    words = []
+    for g in range(4):
+        rows = []
+        for jj in range(4):
+            q = _ROW_OF_BYTE[4 * g + jj]
+            rows.extend(planes[k][q][None, :] for k in range(8))
+        p32 = jnp.concatenate(rows, axis=0)  # [32, Wt]
+        words.append(transpose32(p32))
+    w = jnp.stack(words, axis=1)  # [32, 4, Wt]: [b, g, w]
+    out_ref[0] = w.reshape(128, tile_w)  # leading-dim merge: row = 4b+g
+
+
+def make_key_pallas(seed: bytes) -> dict:
+    """Host key schedule in the kernel's row-major bit-plane layout.
+
+    rk: uint32 [15, 8, 16, 1] (0 / all-ones), rows q = 4r + c.
+    const: uint32 [8, 16] — nonce bit planes at nonce rows, 0 elsewhere.
+    """
+    assert len(seed) == 40
+    nonce_bytes = np.frombuffer(seed[:8], dtype=np.uint8)
+    rks = host_aes.key_expansion(seed[8:])  # [15, 16] bytes
+    rk = np.zeros((15, 8, 16, 1), dtype=np.uint32)
+    const = np.zeros((8, 16), dtype=np.uint32)
+    for q in range(16):
+        byte = _BYTE_OF_ROW[q]
+        for k in range(8):
+            rk[:, k, q, 0] = ((rks[:, byte] >> k) & 1).astype(np.uint32) * 0xFFFFFFFF
+            if byte < 8:
+                const[k, q] = np.uint32(int((nonce_bytes[byte] >> k) & 1) * 0xFFFFFFFF)
+    return {"rk_rm": jnp.asarray(rk), "const_rm": jnp.asarray(const)}
+
+
+def keystream_blocks(
+    key: dict, start_ctr, nblocks: int, *, tile_w: int = 512, interpret: bool = False
+) -> jnp.ndarray:
+    """Keystream bytes uint8 [nblocks, 16] for counters [start, start+n)."""
+    if isinstance(start_ctr, (tuple, list)):
+        lo, hi = start_ctr
+        lo = jnp.asarray(lo, jnp.uint32)
+        hi = jnp.asarray(hi, jnp.uint32)
+    else:
+        c = int(start_ctr)
+        lo = jnp.uint32(c & 0xFFFFFFFF)
+        hi = jnp.uint32(c >> 32)
+
+    blocks_per_tile = tile_w * 32
+    ntiles = -(-nblocks // blocks_per_tile)
+    ngroups = ntiles * tile_w
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, tile_w=tile_w),
+        out_shape=jax.ShapeDtypeStruct((ntiles, 128, tile_w), jnp.uint32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((15, 8, 16, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 128, tile_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(jnp.stack([lo, hi]), key["rk_rm"], key["const_rm"])
+
+    # [tiles, 128, Wt] -T-> [tiles, Wt, 128] -> LE bytes in flat stream order
+    b = jax.lax.bitcast_convert_type(out.transpose(0, 2, 1), jnp.uint8)
+    return b.reshape(ngroups * 32, 16)[:nblocks]
+
+
+def keystream_bytes(
+    key: dict, byte_offset: int, nbytes: int, *, tile_w: int = 512, interpret: bool = False
+) -> jnp.ndarray:
+    """Keystream bytes [byte_offset, byte_offset + nbytes); offset % 16 == 0."""
+    assert byte_offset % 16 == 0, "section base must be block aligned"
+    nblocks = -(-nbytes // 16)
+    ks = keystream_blocks(
+        key, byte_offset // 16, nblocks, tile_w=tile_w, interpret=interpret
+    )
+    return ks.reshape(-1)[:nbytes]

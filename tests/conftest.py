@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Eager op dispatch is extremely slow in this environment (~0.4s/op first
+# compile); tests jit everything and share a persistent compilation cache.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from c_lwe_snarks_tpu.utils import params as params_mod  # noqa: E402
 
