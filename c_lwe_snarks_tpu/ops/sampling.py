@@ -1,0 +1,134 @@
+"""Keystream → digit-tensor sampling: the PRG/bignum bridge.
+
+The reference samples mod-q integers by filling GMP limbs with PRG bytes,
+92 bytes per 736-bit draw (``mpz2_urandomb``, reference src/entropy.c:11-26),
+and re-expands every ciphertext's a-vector from the stream on import
+(src/lwe.c:122-126).  Here the same byte stream becomes uint8 digit
+tensors directly: a batch of draws is ``keystream[offset : offset+c*92]``
+reshaped to ``[c, 92]``, and the mod-2^704 arithmetic layer keeps only
+the low 88 digits (truncation is a ring hom — SURVEY §2 quirk 1 — so
+dropping the top 4 bytes before arithmetic changes no reduced result).
+
+Section offsets in the CRS stream (CTR_* of src/snark.h:8-12) are NOT
+AES-block aligned (CTR_CT = 135,240 = 16·8452.5), so the keystream
+helpers here accept arbitrary byte offsets: they over-generate from the
+enclosing block boundary and slice.  Counters may be traced uint32 pairs,
+which is what lets eval_poly regenerate its a-tiles inside a lax.scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import aes_pallas, aes_tpu
+
+
+class PRGKey:
+    """Device-resident AES-256-CTR key material for both kernel backends.
+
+    seed = 8 nonce bytes (LE) || 32 key bytes, as in the reference's
+    ``rseed_t`` (src/entropy.h:34-35, src/entropy.c:58-61).
+    """
+
+    def __init__(self, seed: bytes):
+        assert len(seed) == 40
+        self.seed = seed
+        self.jnp_key = aes_tpu.make_key(seed)
+        self.pallas_key = aes_pallas.make_key_pallas(seed)
+
+
+@functools.cache
+def _default_backend() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+def keystream_blocks(key: PRGKey, start_ctr, nblocks: int, *, backend: str = "auto"):
+    """uint8 [nblocks, 16] for counters [start, start+n); start may be traced."""
+    if backend == "auto":
+        backend = _default_backend()
+    if backend == "pallas":
+        return aes_pallas.keystream_blocks(key.pallas_key, start_ctr, nblocks)
+    return aes_tpu.keystream_blocks(key.jnp_key, start_ctr, _pad32(nblocks))[:nblocks]
+
+
+def _pad32(n: int) -> int:
+    return -(-n // 32) * 32
+
+
+def keystream_bytes(
+    key: PRGKey, byte_offset, nbytes: int, *, backend: str = "auto"
+) -> jnp.ndarray:
+    """Keystream bytes [byte_offset, byte_offset + nbytes), any alignment.
+
+    ``byte_offset`` is either a python int or ``(offset_static_skip,
+    traced_block_ctr)`` — see ``split_offset``.  ``nbytes`` is static.
+    """
+    if isinstance(byte_offset, tuple):
+        skip, (lo, hi) = byte_offset
+    else:
+        byte_offset = int(byte_offset)
+        skip = byte_offset % 16
+        blk = byte_offset // 16
+        lo, hi = jnp.uint32(blk & 0xFFFFFFFF), jnp.uint32(blk >> 32)
+    nblocks = -(-(skip + nbytes) // 16)
+    ks = keystream_blocks(key, (lo, hi), nblocks, backend=backend)
+    return jax.lax.dynamic_slice_in_dim(ks.reshape(-1), skip, nbytes)
+
+
+def split_offset(byte_offset: int):
+    """Split a static byte offset into (skip, (ctr_lo, ctr_hi)) for tracing."""
+    skip = byte_offset % 16
+    blk = byte_offset // 16
+    return skip, (jnp.uint32(blk & 0xFFFFFFFF), jnp.uint32(blk >> 32))
+
+
+def advance_ctr(lo, hi, nblocks: int):
+    """64-bit counter addition on a traced (lo, hi) uint32 pair."""
+    nlo = lo + jnp.uint32(nblocks & 0xFFFFFFFF)
+    carry = (nlo < lo).astype(jnp.uint32)
+    return nlo, hi + jnp.uint32(nblocks >> 32) + carry
+
+
+def sample_digit_rows(
+    key: PRGKey,
+    byte_offset,
+    count: int,
+    *,
+    draw_bytes: int = 92,
+    ndigits: int = 88,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """``count`` sequential PRG draws as uint8 digit rows [count, ndigits].
+
+    Each draw consumes exactly ``draw_bytes`` keystream bytes (the
+    reference's floor-byte discipline, src/entropy.c:17-22) and keeps the
+    low ``ndigits`` as little-endian base-256 digits.
+    """
+    ks = keystream_bytes(key, byte_offset, count * draw_bytes, backend=backend)
+    rows = ks.reshape(count, draw_bytes)
+    return rows[:, :ndigits]
+
+
+def expand_a(
+    key: PRGKey,
+    byte_offset,
+    count: int,
+    n: int,
+    *,
+    draw_bytes: int = 92,
+    ndigits: int = 88,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """a-matrices for ``count`` ciphertexts: uint8 [count, n, ndigits].
+
+    One ciphertext's expansion consumes n*draw_bytes = CTR_CT stream bytes
+    (src/snark.h:8); a batch is one contiguous slab, byte-identical to
+    ``count`` sequential ct_import calls (src/lwe.c:122-126).
+    """
+    ks = keystream_bytes(key, byte_offset, count * n * draw_bytes, backend=backend)
+    rows = ks.reshape(count, n, draw_bytes)
+    return rows[:, :, :ndigits]

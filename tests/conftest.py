@@ -6,7 +6,11 @@ XLA's host-platform device emulation.  Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient JAX_PLATFORMS (the dev environment sets
+# JAX_PLATFORMS=axon, a tunneled single TPU, and pre-imports jax from
+# sitecustomize — so env vars are too late; use jax.config).  Opt back
+# into real hardware with CLS_TEST_PLATFORM=axon.
+os.environ["JAX_PLATFORMS"] = os.environ.get("CLS_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # Eager op dispatch is extremely slow in this environment (~0.4s/op first
 # compile); tests jit everything and share a persistent compilation cache.
