@@ -1,0 +1,111 @@
+"""uint32 modular arithmetic on the VPU: mod p = 2^32 - 5 and helpers.
+
+The reference does all Z_p work through FLINT's nmod layer (64-bit
+machine words, src/ssp.c / src/snark.c); TPUs have no 64-bit multiply, so
+every product here is built from 16-bit halves in uint32 lanes:
+``mul32`` returns the exact (hi, lo) double word, and the mod-p fold uses
+2^32 ≡ 5 (mod p).  All functions are shape-polymorphic jnp ops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+P = (1 << 32) - 5  # plaintext modulus (GAMMA_P, src/lwe.h:25)
+_U = jnp.uint32
+
+
+def mul32(a: jnp.ndarray, b: jnp.ndarray):
+    """Exact 32x32 -> 64-bit product as (hi, lo) uint32 pairs."""
+    a = a.astype(_U)
+    b = b.astype(_U)
+    a0, a1 = a & 0xFFFF, a >> 16
+    b0, b1 = b & 0xFFFF, b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    mid = (ll >> 16) + (lh & 0xFFFF) + (hl & 0xFFFF)  # < 3*2^16
+    lo = (ll & 0xFFFF) | ((mid & 0xFFFF) << 16)
+    hi = hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
+    return hi, lo
+
+
+def addmod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a + b) mod p for arbitrary uint32 a, b."""
+    s = a + b
+    s = jnp.where(s < a, s + _U(5), s)  # wrapped: +2^32 ≡ +5
+    return jnp.where(s >= _U(P), s - _U(P), s)
+
+
+def submod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a - b) mod p for a, b < p."""
+    return addmod_p(a, jnp.where(b > _U(0), _U(P) - b, b))
+
+
+def mulmod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a * b) mod p for a, b < p (exact for all uint32 inputs)."""
+    hi, lo = mul32(a, b)
+    # a*b = hi*2^32 + lo ≡ 5*hi + lo;  5*hi = h2*2^32 + l2 ≡ 5*h2 + l2
+    h2, l2 = mul32(hi, _U(5))
+    return addmod_p(addmod_p(lo, l2), _U(5) * h2)  # 5*h2 <= 20
+
+
+def powmod_p(a: jnp.ndarray, e: int) -> jnp.ndarray:
+    """a^e mod p, static exponent (square-and-multiply, unrolled)."""
+    result = jnp.full_like(jnp.asarray(a, _U), 1)
+    base = jnp.asarray(a, _U)
+    while e:
+        if e & 1:
+            result = mulmod_p(result, base)
+        e >>= 1
+        if e:
+            base = mulmod_p(base, base)
+    return result
+
+
+def invmod_p(a: jnp.ndarray) -> jnp.ndarray:
+    """a^-1 mod p via Fermat (p prime)."""
+    return powmod_p(a, P - 2)
+
+
+def sum_mod_p(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Reduce-sum mod p along an axis via a pairwise addmod tree.
+
+    Entries must be < p.  O(log n) vector adds — keeps everything in
+    uint32 (a plain sum over d=2^15 terms would need 47 bits).
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    while n > 1:
+        half = n // 2
+        lead = x[..., : 2 * half]
+        x = jnp.concatenate(
+            [addmod_p(lead[..., 0::2], lead[..., 1::2]), x[..., 2 * half :]],
+            axis=-1,
+        )
+        n = half + (n & 1)
+    return x[..., 0]
+
+
+def powers_mod_p(s: jnp.ndarray, count: int) -> jnp.ndarray:
+    """[1, s, s^2, ..., s^(count-1)] mod p in O(log count) vector steps.
+
+    Doubling: P_{2k} = P_k ++ s^k * P_k.  Replaces the reference's
+    sequential Horner walks (src/snark.c:75-110 message schedule,
+    src/snark.c:199-201).
+    """
+    assert count >= 1
+    out = jnp.ones((1,), _U)
+    s = jnp.asarray(s, _U)
+    s_pow = s  # s^(len(out))
+    while out.shape[0] < count:
+        out = jnp.concatenate([out, mulmod_p(s_pow, out)])
+        s_pow = mulmod_p(s_pow, s_pow)
+    return out[:count]
+
+
+def poly_eval_mod_p(coeffs: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate polynomial(s) at scalar s: coeffs [..., d] -> [...]."""
+    pw = powers_mod_p(s, coeffs.shape[-1])
+    return sum_mod_p(mulmod_p(coeffs, pw))

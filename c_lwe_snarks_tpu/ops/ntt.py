@@ -1,0 +1,280 @@
+"""CRT-NTT polynomial engine over Z_p, p = 2^32 - 5.
+
+The reference delegates Z_p polynomial multiplication/division to FLINT
+(src/snark.c:166-169: h = (v^2 - 1) / t).  p - 1 = 2 * 5 * 19 * 22605091
+has 2-adicity 1, so there is no radix-2 NTT mod p itself; instead each
+product runs CRT-style over three NTT-friendly ~31-bit primes and is
+reconstructed mod p (exact: the integer coefficients of a product of
+degree-<2^15 polynomials with entries < p are < 2^79 < q1*q2*q3 ≈ 2^92.7).
+
+TPUs have no 64-bit multiply, so all prime-field products are Montgomery
+multiplications built from 16-bit halves (ops/modp.mul32).  Twiddle
+factors are stored in Montgomery form; data stays in the plain domain
+(mont_mul(plain, w*R) == plain*w mod q), so a butterfly is one mont_mul
+plus an add/sub pair — all VPU lane arithmetic, log2(N) fully-vectorized
+stages, no gathers except one static bit-reversal permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import modp
+
+_U = jnp.uint32
+
+# q = c * 2^k + 1, primality and 2-adicity asserted in _PrimeCtx.
+NTT_PRIMES = (2013265921, 1811939329, 2281701377)  # 15*2^27+1, 27*2^26+1, 17*2^27+1
+
+
+def _is_prime(n: int) -> bool:
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % a == 0:
+            return n == a
+        d, s = n - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            s += 1
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _factor(n: int) -> set:
+    fs, d = set(), 2
+    while d * d <= n:
+        while n % d == 0:
+            fs.add(d)
+            n //= d
+        d += 1
+    if n > 1:
+        fs.add(n)
+    return fs
+
+
+class _PrimeCtx:
+    """Montgomery context for one 32-bit NTT prime (host-side constants)."""
+
+    def __init__(self, q: int):
+        assert _is_prime(q), q
+        self.q = q
+        self.two_adicity = (q - 1 & -(q - 1)).bit_length() - 1
+        # -q^-1 mod 2^32
+        self.qinv_neg = (-pow(q, -1, 1 << 32)) % (1 << 32)
+        self.r2 = (1 << 64) % q  # to_mont multiplier
+        g = 2
+        fs = _factor(q - 1)
+        while any(pow(g, (q - 1) // f, q) == 1 for f in fs):
+            g += 1
+        self.generator = g
+
+    # ---- jnp ops (all uint32, shape-polymorphic) -------------------------
+    def mont_mul(self, a, b):
+        """a * b * 2^-32 mod q, inputs < q (or one input < 2^32)."""
+        hi_ab, lo_ab = modp.mul32(a, b)
+        m = lo_ab * _U(self.qinv_neg)  # wrapping
+        hi_mq, _ = modp.mul32(m, _U(self.q))
+        t = hi_ab + hi_mq + (lo_ab != 0).astype(_U)
+        return jnp.where(t >= _U(self.q), t - _U(self.q), t)
+
+    def mulmod(self, a, b):
+        """a * b mod q (plain domain), inputs < q."""
+        return self.mont_mul(self.mont_mul(a, b), _U(self.r2))
+
+    def addmod(self, a, b):
+        s = a + b  # < 2q < 2^33 -- but q > 2^31 can wrap uint32!
+        wrapped = s < a
+        s = jnp.where(wrapped, s + _U((1 << 32) % self.q), s)
+        return jnp.where(s >= _U(self.q), s - _U(self.q), s)
+
+    def submod(self, a, b):
+        return self.addmod(a, jnp.where(b > _U(0), _U(self.q) - b, b))
+
+    def reduce_u32(self, x):
+        """Arbitrary uint32 -> mod q (q > 2^30.7: at most 2 subtracts)."""
+        if 2 * self.q < 1 << 32:
+            x = jnp.where(x >= _U(2 * self.q), x - _U(2 * self.q), x)
+        return jnp.where(x >= _U(self.q), x - _U(self.q), x)
+
+
+@functools.cache
+def _prime_ctx(q: int) -> _PrimeCtx:
+    return _PrimeCtx(q)
+
+
+@functools.cache
+def _tables(q: int, n: int):
+    """Per-stage twiddles (Montgomery form) + bit-rev perm for size n."""
+    ctx = _prime_ctx(q)
+    logn = n.bit_length() - 1
+    assert 1 << logn == n and logn <= ctx.two_adicity, (q, n)
+    w_n = pow(ctx.generator, (q - 1) // n, q)
+    rev = np.zeros(n, np.int32)
+    for i in range(n):
+        rev[i] = int(format(i, f"0{logn}b")[::-1], 2) if logn else 0
+    fwd, inv = [], []
+    r = 1 << 32
+    for s in range(1, logn + 1):
+        length = 1 << s
+        w = pow(w_n, n // length, q)
+        tw = np.empty(length // 2, np.uint32)
+        v = 1
+        for j in range(length // 2):
+            tw[j] = v * r % q
+            v = v * w % q
+        fwd.append(tw)
+        wi = pow(w, q - 2, q)
+        twi = np.empty(length // 2, np.uint32)
+        v = 1
+        for j in range(length // 2):
+            twi[j] = v * r % q
+            v = v * wi % q
+        inv.append(twi)
+    n_inv_mont = np.uint32(pow(n, q - 2, q) * r % q)
+    return rev, fwd, inv, n_inv_mont
+
+
+def _ntt_core(x: jnp.ndarray, q: int, stage_tw, rev) -> jnp.ndarray:
+    """Radix-2 DIT NTT along the last axis; x uint32 [..., n] mod q."""
+    ctx = _prime_ctx(q)
+    n = x.shape[-1]
+    x = jnp.take(x, jnp.asarray(rev), axis=-1)
+    for s, tw in enumerate(stage_tw, start=1):
+        length = 1 << s
+        half = length // 2
+        v = x.reshape(*x.shape[:-1], n // length, 2, half)
+        u, w = v[..., 0, :], v[..., 1, :]
+        wv = ctx.mont_mul(w, jnp.asarray(tw))
+        x = jnp.concatenate(
+            [ctx.addmod(u, wv)[..., None, :], ctx.submod(u, wv)[..., None, :]],
+            axis=-2,
+        ).reshape(*x.shape[:-1], n)
+    return x
+
+
+def ntt_forward(x: jnp.ndarray, q: int) -> jnp.ndarray:
+    rev, fwd, _, _ = _tables(q, x.shape[-1])
+    return _ntt_core(x, q, fwd, rev)
+
+
+def ntt_inverse(x: jnp.ndarray, q: int) -> jnp.ndarray:
+    rev, _, inv, n_inv_mont = _tables(q, x.shape[-1])
+    out = _ntt_core(x, q, inv, rev)
+    return _prime_ctx(q).mont_mul(out, jnp.asarray(n_inv_mont)[None])
+
+
+# --------------------------------------------------------------------------
+# CRT reconstruction mod p (Garner, 3 primes).
+# --------------------------------------------------------------------------
+
+_Q1, _Q2, _Q3 = NTT_PRIMES
+_INV_Q1_MOD_Q2 = pow(_Q1, -1, _Q2)
+_INV_Q1Q2_MOD_Q3 = pow(_Q1 * _Q2, -1, _Q3)
+_Q1_MOD_Q3 = _Q1 % _Q3
+_Q1_MOD_P = _Q1 % modp.P
+_Q1Q2_MOD_P = (_Q1 * _Q2) % modp.P
+
+
+def crt_to_mod_p(r1: jnp.ndarray, r2: jnp.ndarray, r3: jnp.ndarray) -> jnp.ndarray:
+    """Residues mod (q1, q2, q3) -> value mod p (value < q1*q2*q3)."""
+    c2 = _prime_ctx(_Q2)
+    c3 = _prime_ctx(_Q3)
+    t2 = c2.mulmod(c2.submod(r2, c2.reduce_u32(r1)), _U(_INV_Q1_MOD_Q2))
+    u = c3.submod(
+        c3.submod(r3, c3.reduce_u32(r1)),
+        c3.mulmod(_U(_Q1_MOD_Q3), c3.reduce_u32(t2)),
+    )
+    t3 = c3.mulmod(u, _U(_INV_Q1Q2_MOD_Q3))
+    # x = r1 + q1*t2 + q1*q2*t3  (Garner); r1 < q1 < p, t2 < q2 < p, t3 < q3 < p
+    return modp.addmod_p(
+        r1,
+        modp.addmod_p(
+            modp.mulmod_p(_U(_Q1_MOD_P), t2), modp.mulmod_p(_U(_Q1Q2_MOD_P), t3)
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Polynomial multiply / exact divide mod p.
+# --------------------------------------------------------------------------
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def poly_mul_mod_p(a: jnp.ndarray, b: jnp.ndarray, out_len: int | None = None):
+    """Full product of coefficient arrays mod p.
+
+    a: uint32 [..., la], b: uint32 [..., lb] (entries < p, deg = formal).
+    Returns uint32 [..., out_len] (default la+lb-1), truncated.
+    """
+    la, lb = a.shape[-1], b.shape[-1]
+    full = la + lb - 1
+    if out_len is None:
+        out_len = full
+    n = _next_pow2(max(full, 2))
+    pad_a = [(0, 0)] * (a.ndim - 1) + [(0, n - la)]
+    pad_b = [(0, 0)] * (b.ndim - 1) + [(0, n - lb)]
+    ap = jnp.pad(a, pad_a)
+    bp = jnp.pad(b, pad_b)
+    res = []
+    for q in NTT_PRIMES:
+        ctx = _prime_ctx(q)
+        fa = ntt_forward(ctx.reduce_u32(ap), q)
+        fb = ntt_forward(ctx.reduce_u32(bp), q)
+        prod = ctx.mulmod(fa, fb)
+        res.append(ntt_inverse(prod, q))
+    out = crt_to_mod_p(*res)
+    out = out[..., : min(out_len, full)]
+    if out_len > full:  # requested window extends past the exact product
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, out_len - full)])
+    return out
+
+
+def poly_inv_series_mod_p(t: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Power-series inverse of t mod x^out_len (t[0] must be invertible).
+
+    Newton: S_{2k} = S_k * (2 - t * S_k) mod x^{2k}.  Used for exact
+    division (the FLINT nmod_poly_div replacement, src/snark.c:166-169).
+    """
+    s = modp.invmod_p(t[..., :1])
+    k = 1
+    while k < out_len:
+        k2 = min(2 * k, _next_pow2(out_len))
+        ts = poly_mul_mod_p(t[..., :k2], s, out_len=k2)
+        # 2 - ts
+        two_minus = modp.submod_p(
+            jnp.zeros_like(ts).at[..., 0].set(2), ts
+        )
+        s = poly_mul_mod_p(s, two_minus, out_len=k2)
+        k = k2
+    return s[..., :out_len]
+
+
+def poly_div_exact_mod_p(
+    num: jnp.ndarray, den: jnp.ndarray, quot_len: int
+) -> jnp.ndarray:
+    """Exact quotient num / den mod p via reversed power series.
+
+    num: uint32 [..., ln] with formal degree ln-1; den: uint32 [..., ld]
+    with formal degree ld-1 — den's LAST entry must be nonzero (true with
+    probability 1 - 1/p for random_ssp instances; the reference uses the
+    data-dependent true degree, see DEVIATIONS.md).  quot_len static
+    (= ln - ld + 1 for the full quotient).
+    """
+    nr = jnp.flip(num, axis=-1)
+    dr = jnp.flip(den, axis=-1)
+    inv = poly_inv_series_mod_p(dr, quot_len)
+    qr = poly_mul_mod_p(nr[..., :quot_len], inv, out_len=quot_len)
+    return jnp.flip(qr, axis=-1)
