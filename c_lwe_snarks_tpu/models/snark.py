@@ -1,0 +1,291 @@
+"""The LWE/SSP SNARK protocol on TPU: setup / prover / verifier.
+
+TPU-native redesign of src/snark.c (GMNO18 designated-verifier zk-SNARK):
+
+* setup (src/snark.c:57-115): the 2d+m+... message schedule (s^i, alpha
+  s^i, beta t(s), beta v_i(s)) is computed with log-depth power doubling
+  and one batched mod-p matvec, then all encryptions run through the
+  tiled keystream-regenerating encrypt_section — never materializing a
+  [d, n, 88] slab.  CRS = 40-byte seed + compressed b-rows, exactly the
+  reference's compressed format (seed + 92-byte b per ct).
+* prover (src/snark.c:117-190): witness accumulation over the bv section
+  IS a homomorphic evaluation with 0/1 coefficients, so it reuses the
+  eval_poly kernel; the four polynomial evaluations run as TWO fused
+  two-polynomial passes (w,h over the s section; v,h over the as
+  section), halving keystream work vs the reference's four passes.
+  h = (v^2-1)/t runs on the CRT-NTT engine.
+* verifier (src/snark.c:192-250): 5 decrypts + mod-p relation checks.
+
+All randomness beyond the CRS seed flows from a second seeded AES-CTR
+stream ("entropy") with a static byte layout replicating the reference's
+getrandom call order (SURVEY §2 quirk 3) — this makes full runs
+reproducible and bit-exact against the host oracle given equal seeds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import digits as dg
+from ..ops import modp, sampling
+from ..utils.params import Params
+from . import lwe as tlwe
+from . import ssp as tssp
+from ..ops import ntt
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CRSDev:
+    """seed + compressed ciphertext arrays (src/snark.h:31-37)."""
+
+    seed: bytes = dataclasses.field(metadata=dict(static=True))
+    b_s: jnp.ndarray  # uint8 [d, 88]   Enc(s^i)
+    b_as: jnp.ndarray  # uint8 [d, 88]  Enc(alpha s^i)
+    b_t: jnp.ndarray  # uint8 [88]      Enc(beta t(s))
+    b_v: jnp.ndarray  # uint8 [m-1, 88] Enc(beta v_i(s)), i in [1, m)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VRSDev:
+    """Designated-verifier trapdoor (src/snark.h:23-29)."""
+
+    alpha: jnp.ndarray  # uint32
+    beta: jnp.ndarray
+    s: jnp.ndarray
+    sk: jnp.ndarray  # uint8 [n, 88]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ProofDev:
+    """Five full ciphertexts [n+1, 88] (src/snark.h:14-20)."""
+
+    h: jnp.ndarray
+    hat_h: jnp.ndarray
+    hat_v: jnp.ndarray
+    v_w: jnp.ndarray
+    b_w: jnp.ndarray
+
+    def stack(self) -> jnp.ndarray:
+        return jnp.stack([self.h, self.hat_h, self.hat_v, self.v_w, self.b_w])
+
+
+# --------------------------------------------------------------------------
+# Entropy stream layout (replicates the reference's getrandom call order).
+# --------------------------------------------------------------------------
+
+
+def err_bytes(params: Params) -> int:
+    """Bytes per encryption-error draw (errdist_uniform, src/lwe.c:60-63)."""
+    return (params.log_sigma + 3) // 8  # 69
+
+
+def enc_entropy_bytes(params: Params) -> int:
+    """Error draw + dead sign byte (src/lwe.c:85-87) per encryption."""
+    return err_bytes(params) + 1  # 70
+
+
+def smudge_entropy_bytes(params: Params) -> int:
+    """Smudging draw + sign byte (src/lwe.c:65-76)."""
+    return params.log_smudging // 8 + 1  # 81
+
+
+def setup_entropy_bytes(params: Params) -> int:
+    """alpha/beta/s (24) + sk (92n) + per-encryption draws."""
+    n_enc = 2 * params.d + 1 + (params.m - 1)
+    return 24 + params.logq_bytes * params.n + n_enc * enc_entropy_bytes(params)
+
+
+def prover_entropy_bytes(params: Params) -> int:
+    """delta (8) + 5 smudge draws."""
+    return 8 + 5 * smudge_entropy_bytes(params)
+
+
+def _err_digits(ent: sampling.PRGKey, offset: int, count: int, params: Params):
+    """count error draws as digit rows [count, 88] (69 live bytes each).
+
+    Each draw consumes enc_entropy_bytes (incl. the dead sign byte whose
+    stream slot the reference burns — SURVEY §2 quirk 2)."""
+    rows = sampling.sample_digit_rows(
+        ent, offset, count, draw_bytes=enc_entropy_bytes(params),
+        ndigits=err_bytes(params),
+    )
+    return tlwe.pad_digits(rows)
+
+
+# --------------------------------------------------------------------------
+# setup
+# --------------------------------------------------------------------------
+
+
+def setup(
+    crs_key: sampling.PRGKey,
+    ent_key: sampling.PRGKey,
+    ent_offset: int,
+    ssp: tssp.SSPDev,
+    params: Params,
+    *,
+    tile: int | None = None,
+) -> tuple[CRSDev, VRSDev]:
+    """CRS/VRS generation (src/snark.c:57-115), jit-friendly.
+
+    One CRS keystream runs sequentially through sections at offsets
+    CTR_S/CTR_AS/CTR_BT/CTR_BV (src/snark.h:8-12); the entropy stream is
+    consumed in the reference's draw order: alpha, beta, s, sk, then one
+    error+sign pair per encryption.
+    """
+    d, m, n = params.d, params.m, params.n
+
+    scalars = sampling.keystream_bytes(ent_key, ent_offset, 24).reshape(3, 8)
+    alpha, beta, s = (modp.bytes_to_u64_mod_p(scalars[i]) for i in range(3))
+    sk = tlwe.key_gen(ent_key, ent_offset + 24, params)
+
+    e_base = ent_offset + 24 + params.logq_bytes * n
+    eb = enc_entropy_bytes(params)
+    errs_s = _err_digits(ent_key, e_base, d, params)
+    errs_as = _err_digits(ent_key, e_base + d * eb, d, params)
+    errs_t = _err_digits(ent_key, e_base + 2 * d * eb, 1, params)
+    errs_v = _err_digits(ent_key, e_base + (2 * d + 1) * eb, m - 1, params)
+
+    powers = modp.powers_mod_p(s, d)  # [d]: s^i
+    msgs_s = powers
+    msgs_as = modp.mulmod_p(alpha, powers)
+    # beta * t(s), beta * v_i(s): batched dot with the powers vector
+    t_s = modp.sum_mod_p(modp.mulmod_p(ssp.t, powers))
+    v_s = modp.sum_mod_p(modp.mulmod_p(ssp.v, powers[None, :]), axis=-1)  # [m]
+    msg_t = modp.mulmod_p(beta, t_s)[None]
+    msgs_v = modp.mulmod_p(beta, v_s[1:])  # i in [1, m)
+
+    b_s = tlwe.encrypt_section(crs_key, params.ctr_s, sk, msgs_s, errs_s, params, tile=tile)
+    b_as = tlwe.encrypt_section(crs_key, params.ctr_as, sk, msgs_as, errs_as, params, tile=tile)
+    b_t = tlwe.encrypt_section(crs_key, params.ctr_bt, sk, msg_t, errs_t, params)
+    b_v = tlwe.encrypt_section(crs_key, params.ctr_bv, sk, msgs_v, errs_v, params)
+
+    crs = CRSDev(seed=crs_key.seed, b_s=b_s, b_as=b_as, b_t=b_t[0], b_v=b_v)
+    vrs = VRSDev(alpha=alpha, beta=beta, s=s, sk=sk)
+    return crs, vrs
+
+
+# --------------------------------------------------------------------------
+# prover
+# --------------------------------------------------------------------------
+
+
+def _pad_even(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    if x.shape[axis] % 2 == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, 1)
+    return jnp.pad(x, pad)
+
+
+def prover(
+    crs_key: sampling.PRGKey,
+    ent_key: sampling.PRGKey,
+    ent_offset: int,
+    crs: CRSDev,
+    ssp: tssp.SSPDev,
+    witness: jnp.ndarray,
+    params: Params,
+    *,
+    tile: int | None = None,
+) -> ProofDev:
+    """src/snark.c:117-190 with fused two-polynomial evaluations.
+
+    witness: uint8 bit vector [m] (bit i-1 gates v_i, i in [1, m)).
+    """
+    d, m, n = params.d, params.m, params.n
+    p_u32 = jnp.uint32(params.p)
+
+    delta = modp.bytes_to_u64_mod_p(
+        sampling.keystream_bytes(ent_key, ent_offset, 8)
+    )
+
+    # w = delta*t + sum_{witness bit i-1} v_i   (coeff domain, mod p)
+    gate = witness[: m - 1].astype(bool)  # gates v_1..v_{m-1}
+    sel = jnp.where(gate[:, None], ssp.v[1:], jnp.zeros_like(ssp.v[1:]))
+    w = modp.addmod_p(modp.mulmod_p(delta, ssp.t), modp.sum_mod_p(sel, axis=0))
+
+    # b_w = delta * ct(beta t) + sum_{witness} ct(beta v_i):
+    # the masked sum is a homomorphic evaluation with 0/1 coefficients.
+    ct_bt = tlwe.ct_import(crs_key, params.ctr_bt, crs.b_t[None], params)[0]
+    bw_coeffs = _pad_even(witness[: m - 1].astype(jnp.uint32))
+    bw_rows = _pad_even(tlwe.pad_digits(crs.b_v))
+    b_w = tlwe.ct_add(
+        tlwe.ct_mul_ui(ct_bt, delta),
+        tlwe.eval_poly(crs_key, params.ctr_bv, bw_rows, bw_coeffs, params, tile=tile),
+    )
+
+    # v = v_0 + w;  h = (v^2 - 1) / t   (CRT-NTT engine)
+    v = modp.addmod_p(ssp.v[0], w)
+    v_sq = ntt.poly_mul_mod_p(v, v)  # [2d-1]
+    num = v_sq.at[0].set(modp.submod_p(v_sq[0], jnp.uint32(1)))
+    h = ntt.poly_div_exact_mod_p(num, ssp.t, d)
+
+    # fused evaluations: (w, h) over the s section, (v, h) over as
+    ev_s = tlwe.eval_poly_multi(
+        crs_key, params.ctr_s, crs.b_s, jnp.stack([w, h]), params, tile=tile
+    )
+    ev_as = tlwe.eval_poly_multi(
+        crs_key, params.ctr_as, crs.b_as, jnp.stack([v, h]), params, tile=tile
+    )
+    v_w, h_ct = ev_s[0], ev_s[1]
+    hat_v, hat_h = ev_as[0], ev_as[1]
+
+    # smudging, reference order: h, hat_h, hat_v, v_w, v_w (quirk: v_w
+    # twice, b_w never — src/snark.c:184-189)
+    sm = sampling.sample_digit_rows(
+        ent_key, ent_offset + 8, 5,
+        draw_bytes=smudge_entropy_bytes(params),
+        ndigits=smudge_entropy_bytes(params),
+    )
+    s_digits = tlwe.pad_digits(sm[:, :-1])  # [5, 88]
+    signs = (sm[:, -1] & 1) == 0  # low bit 0 -> positive (src/lwe.c:52-58)
+
+    h_ct = tlwe.smudge(h_ct, s_digits[0], signs[0], params)
+    hat_h = tlwe.smudge(hat_h, s_digits[1], signs[1], params)
+    hat_v = tlwe.smudge(hat_v, s_digits[2], signs[2], params)
+    v_w = tlwe.smudge(v_w, s_digits[3], signs[3], params)
+    v_w = tlwe.smudge(v_w, s_digits[4], signs[4], params)
+    return ProofDev(h=h_ct, hat_h=hat_h, hat_v=hat_v, v_w=v_w, b_w=b_w)
+
+
+# --------------------------------------------------------------------------
+# verifier
+# --------------------------------------------------------------------------
+
+
+def verifier(
+    vrs: VRSDev, ssp: tssp.SSPDev, proof: ProofDev, params: Params
+) -> jnp.ndarray:
+    """Decrypt the proof, check the mod-p relations (src/snark.c:192-250).
+
+    Returns a bool scalar.  The reference's final "test-error" bound
+    compares a GMP limb count against 640/8 limbs = 5120 bits; every
+    mod-2^704 value passes, so the check is vacuous at these parameters
+    (kept in the oracle for literal parity; here it is the constant-true
+    branch and documented as such).
+    """
+    cts = proof.stack()  # [5, n+1, 88]
+    dec = tlwe.decrypt(cts, vrs.sk, params)  # [5]
+    h_s, hath_s, hatv_s, w_s, b_s = (dec[i] for i in range(5))
+
+    t_s = modp.poly_eval_mod_p(ssp.t, vrs.s)
+    v0_s = modp.poly_eval_mod_p(ssp.v[0], vrs.s)
+    v_s = modp.addmod_p(v0_s, w_s)
+
+    eq_pke1 = modp.mulmod_p(h_s, vrs.alpha) == hath_s
+    eq_pke2 = modp.mulmod_p(v_s, vrs.alpha) == hatv_s
+    lhs = modp.submod_p(
+        modp.submod_p(modp.mulmod_p(v_s, v_s), jnp.uint32(1)),
+        modp.mulmod_p(h_s, t_s),
+    )
+    eq_div = lhs == jnp.uint32(0)
+    eq_lin = modp.mulmod_p(w_s, vrs.beta) == b_s
+    return eq_pke1 & eq_pke2 & eq_div & eq_lin

@@ -51,6 +51,22 @@ def mulmod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return addmod_p(addmod_p(lo, l2), _U(5) * h2)  # 5*h2 <= 20
 
 
+def fold64_mod_p(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """(hi * 2^32 + lo) mod p for arbitrary uint32 halves (2^32 ≡ 5)."""
+    h2, l2 = mul32(hi, _U(5))
+    return addmod_p(addmod_p(lo, l2), _U(5) * h2)
+
+
+def bytes_to_u64_mod_p(b: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [..., 8] little-endian words -> value mod p (rand_modp,
+    src/lwe.h:97-103: uniform-ish uint64 mod p)."""
+    w = b.astype(_U)
+    shifts = jnp.arange(4, dtype=_U) * 8
+    lo = jnp.sum(w[..., :4] << shifts, axis=-1)
+    hi = jnp.sum(w[..., 4:] << shifts, axis=-1)
+    return fold64_mod_p(hi, lo)
+
+
 def powmod_p(a: jnp.ndarray, e: int) -> jnp.ndarray:
     """a^e mod p, static exponent (square-and-multiply, unrolled)."""
     result = jnp.full_like(jnp.asarray(a, _U), 1)

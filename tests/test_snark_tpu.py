@@ -1,0 +1,142 @@
+"""End-to-end conformance: TPU protocol vs host oracle, bit-exact.
+
+Replays the oracle's exact entropy stream layout on device and checks
+every intermediate artifact (SSP coeffs, trapdoor scalars, CRS b-rows,
+all 5 proof ciphertexts digit-for-digit), then verification + rejection.
+Mirrors src/test_snark.c's white-box strategy (SURVEY §4) with stronger
+replay guarantees (the reference can't replay its getrandom draws).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from c_lwe_snarks_tpu.models import lwe as tlwe
+from c_lwe_snarks_tpu.models import snark as tsnark
+from c_lwe_snarks_tpu.models import ssp as tssp
+from c_lwe_snarks_tpu.ops import digits as dg
+from c_lwe_snarks_tpu.ops import sampling
+from c_lwe_snarks_tpu.oracle import snark as osnark
+from c_lwe_snarks_tpu.oracle import ssp as ossp
+from c_lwe_snarks_tpu.oracle.prg import EntropySource
+from c_lwe_snarks_tpu.utils import params as params_mod
+
+P = params_mod.Params(d=16, m=8, n=32)
+CRS_SEED = bytes(range(40, 80))
+ENT_SEED = bytes(range(40))
+
+
+@pytest.fixture(scope="module")
+def oracle_run():
+    ent = EntropySource(ENT_SEED)
+    wit, inst = ossp.random_ssp(P, ent)
+    crs, vrs = osnark.setup(P, inst, ent, seed=CRS_SEED)
+    pi = osnark.prover(P, crs, inst, wit, ent)
+    assert osnark.verifier(P, inst, vrs, pi)
+    return wit, inst, crs, vrs, pi
+
+
+@pytest.fixture(scope="module")
+def tpu_run():
+    crs_key = sampling.PRGKey(CRS_SEED)
+    ent_key = sampling.PRGKey(ENT_SEED)
+    off_ssp = 0
+    off_setup = tssp.entropy_bytes_random_ssp(P)
+    off_prove = off_setup + tsnark.setup_entropy_bytes(P)
+
+    @jax.jit
+    def run():
+        wits, inst = tssp.random_ssp(ent_key, off_ssp, P)
+        crs, vrs = tsnark.setup(crs_key, ent_key, off_setup, inst, P)
+        pi = tsnark.prover(crs_key, ent_key, off_prove, crs, inst, wits, P)
+        ok = tsnark.verifier(vrs, inst, pi, P)
+        return wits, inst, crs, vrs, pi, ok
+
+    return run()
+
+
+def test_ssp_matches_oracle(oracle_run, tpu_run):
+    owit, oinst, *_ = oracle_run
+    wits, inst, *_ = tpu_run
+    wbits = [(owit >> i) & 1 for i in range(P.m)]
+    assert [int(b) for b in np.asarray(wits)] == wbits
+    t = np.asarray(inst.t)
+    ot = oinst.t + [0] * (P.d - len(oinst.t))
+    assert [int(x) for x in t] == ot
+    v = np.asarray(inst.v)
+    for i in range(P.m):
+        ovi = oinst.v[i] + [0] * (P.d - len(oinst.v[i]))
+        assert [int(x) for x in v[i]] == ovi
+
+
+def test_vrs_matches_oracle(oracle_run, tpu_run):
+    _, _, _, ovrs, _ = oracle_run
+    _, _, _, vrs, _, _ = tpu_run
+    assert int(vrs.alpha) == ovrs.alpha
+    assert int(vrs.beta) == ovrs.beta
+    assert int(vrs.s) == ovrs.s
+    sk = np.asarray(vrs.sk)
+    for i in range(P.n):
+        assert dg.digits_to_int(sk[i]) == ovrs.sk[i] % (1 << 704)
+
+
+def test_crs_matches_oracle(oracle_run, tpu_run):
+    _, _, ocrs, _, _ = oracle_run
+    _, _, crs, _, _, _ = tpu_run
+    for name, rows, want in (
+        ("s", crs.b_s, ocrs.s),
+        ("as", crs.b_as, ocrs.as_),
+        ("v", crs.b_v, ocrs.v),
+    ):
+        rows = np.asarray(rows)
+        for i, wbytes in enumerate(want):
+            assert dg.digits_to_int(rows[i]) == int.from_bytes(wbytes, "little"), (
+                name, i)
+    assert dg.digits_to_int(np.asarray(crs.b_t)) == int.from_bytes(ocrs.t, "little")
+
+
+def test_proof_matches_oracle(oracle_run, tpu_run):
+    *_, opi = oracle_run
+    _, _, _, _, pi, _ = tpu_run
+    pairs = [
+        ("h", pi.h, opi.h), ("hat_h", pi.hat_h, opi.hat_h),
+        ("hat_v", pi.hat_v, opi.hat_v), ("v_w", pi.v_w, opi.v_w),
+        ("b_w", pi.b_w, opi.b_w),
+    ]
+    for name, ct, oct_ in pairs:
+        ct = np.asarray(ct)
+        for i in range(P.n):
+            assert dg.digits_to_int(ct[i]) == oct_.a[i] % (1 << 704), (name, i)
+        assert dg.digits_to_int(ct[P.n]) == oct_.b % (1 << 704), name
+
+
+def test_verifier_accepts(tpu_run):
+    *_, ok = tpu_run
+    assert bool(ok)
+
+
+def test_verifier_rejects_tampered_proof(tpu_run):
+    wits, inst, crs, vrs, pi, _ = tpu_run
+    bad_b = pi.h.at[P.n, 0].set(pi.h[P.n, 0] ^ 1)
+    bad = tsnark.ProofDev(h=bad_b, hat_h=pi.hat_h, hat_v=pi.hat_v,
+                          v_w=pi.v_w, b_w=pi.b_w)
+    assert not bool(jax.jit(tsnark.verifier, static_argnums=3)(vrs, inst, bad, P))
+
+
+def test_verifier_rejects_wrong_witness():
+    crs_key = sampling.PRGKey(CRS_SEED)
+    ent_key = sampling.PRGKey(ENT_SEED)
+    off_setup = tssp.entropy_bytes_random_ssp(P)
+    off_prove = off_setup + tsnark.setup_entropy_bytes(P)
+
+    @jax.jit
+    def run():
+        wits, inst = tssp.random_ssp(ent_key, 0, P)
+        crs, vrs = tsnark.setup(crs_key, ent_key, off_setup, inst, P)
+        bad_wits = wits.at[0].set(1 - wits[0])
+        pi = tsnark.prover(crs_key, ent_key, off_prove, crs, inst, bad_wits, P)
+        return tsnark.verifier(vrs, inst, pi, P)
+
+    assert not bool(run())
