@@ -173,7 +173,7 @@ def encrypt_section(
             sk, msgs, errs, params,
         )
     ntiles = total // tile
-    skip, ctr0 = sampling.split_offset(section_offset)
+    skip, ctr0 = _offset_skip_ctr(section_offset)
     blocks_per_tile = tile * params.ctr_ct // 16
 
     def step(ctr, xs):
@@ -241,9 +241,71 @@ def smudge(
 # --------------------------------------------------------------------------
 
 
+def _offset_skip_ctr(section_offset):
+    """Static int offset or traced (skip, (lo, hi)) -> (skip, ctr) pair."""
+    if isinstance(section_offset, tuple):
+        return section_offset
+    return sampling.split_offset(section_offset)
+
+
+def eval_poly_multi_acc(
+    key: sampling.PRGKey,
+    section_offset,
+    b_rows: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    params: Params,
+    *,
+    tile: int | None = None,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """Partial accumulator of k homomorphic evaluations: int32 [k, n+1, 88].
+
+    Positions are bounded by 255 + 2^23 (one partial_fold short of
+    normalized digits), so partial accumulators from up to ~2^7 shards can
+    be psum-reduced in int32 before one final carry_fold — the sharded
+    eval_poly (parallel/mesh.py) rides this.  ``section_offset`` may be a
+    traced (skip, (ctr_lo, ctr_hi)) stream position.  Inside shard_map,
+    pass ``axis_name`` so the scan carry is marked mesh-varying.
+    """
+    k, d = coeffs.shape
+    n = params.n
+    if tile is None:
+        tile = min(d, 256)
+    assert d % tile == 0 and (tile * params.ctr_ct) % 16 == 0, (d, tile)
+    ntiles = d // tile
+    x_cols = (n + 1) * DIGITS
+
+    cb = u32_to_bytes(coeffs)  # [k, d, 4]
+    cb = cb.transpose(1, 0, 2).reshape(ntiles, tile, k * 4)
+    b_tiles = b_rows[:, :DIGITS].reshape(ntiles, tile, DIGITS)
+
+    skip, ctr0 = _offset_skip_ctr(section_offset)
+    blocks_per_tile = tile * params.ctr_ct // 16
+
+    def step(carry, xs):
+        ctr, acc = carry
+        cb_t, b_t = xs
+        a = sampling.expand_a(key, (skip, ctr), tile, n)  # [T, n, 88]
+        x = jnp.concatenate([a, b_t[:, None, :]], axis=1).reshape(tile, x_cols)
+        planes = dg.u8_matmul(cb_t.T, x)  # [k*4, X]
+        comb = dg.combine_shift_planes(
+            planes.reshape(k, 4, n + 1, DIGITS).transpose(1, 0, 2, 3)
+        )  # [k, n+1, 88] < 2^26
+        acc = dg.partial_fold(acc + comb)
+        return (sampling.advance_ctr(*ctr, blocks_per_tile), acc), None
+
+    acc0 = jnp.zeros((k, n + 1, DIGITS), jnp.int32)
+    if axis_name is not None:
+        # ctr0 derives from the (sharded) stream position and is already
+        # mesh-varying; the zero accumulator must be marked to match.
+        acc0 = jax.lax.pcast(acc0, axis_name, to="varying")
+    (_, acc), _ = jax.lax.scan(step, (ctr0, acc0), (cb, b_tiles))
+    return acc
+
+
 def eval_poly_multi(
     key: sampling.PRGKey,
-    section_offset: int,
+    section_offset,
     b_rows: jnp.ndarray,
     coeffs: jnp.ndarray,
     params: Params,
@@ -260,36 +322,9 @@ def eval_poly_multi(
     k-way batching + tile-wise keystream regeneration (never holding the
     expanded [d, n, 88] slab) is the TPU redesign.
     """
-    k, d = coeffs.shape
-    n = params.n
-    if tile is None:
-        tile = min(d, 256)
-    assert d % tile == 0 and tile % 2 == 0, (d, tile)
-    ntiles = d // tile
-    x_cols = (n + 1) * DIGITS
-
-    cb = u32_to_bytes(coeffs)  # [k, d, 4]
-    cb = cb.transpose(1, 0, 2).reshape(ntiles, tile, k * 4)
-    b_tiles = b_rows[:, :DIGITS].reshape(ntiles, tile, DIGITS)
-
-    skip, ctr0 = sampling.split_offset(section_offset)
-    blocks_per_tile = tile * params.ctr_ct // 16
-
-    def step(carry, xs):
-        ctr, acc = carry
-        cb_t, b_t = xs
-        a = sampling.expand_a(key, (skip, ctr), tile, n)  # [T, n, 88]
-        x = jnp.concatenate([a, b_t[:, None, :]], axis=1).reshape(tile, x_cols)
-        planes = dg.u8_matmul(cb_t.T, x)  # [k*4, X]
-        comb = dg.combine_shift_planes(
-            planes.reshape(k, 4, n + 1, DIGITS).transpose(1, 0, 2, 3)
-        )  # [k, n+1, 88] < 2^26
-        acc = dg.partial_fold(acc + comb)
-        return (sampling.advance_ctr(*ctr, blocks_per_tile), acc), None
-
-    acc0 = jnp.zeros((k, n + 1, DIGITS), jnp.int32)
-    (_, acc), _ = jax.lax.scan(step, (ctr0, acc0), (cb, b_tiles))
-    return dg.carry_fold(acc)
+    return dg.carry_fold(
+        eval_poly_multi_acc(key, section_offset, b_rows, coeffs, params, tile=tile)
+    )
 
 
 def eval_poly(

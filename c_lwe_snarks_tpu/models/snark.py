@@ -132,6 +132,7 @@ def setup(
     params: Params,
     *,
     tile: int | None = None,
+    mesh=None,
 ) -> tuple[CRSDev, VRSDev]:
     """CRS/VRS generation (src/snark.c:57-115), jit-friendly.
 
@@ -139,8 +140,21 @@ def setup(
     CTR_S/CTR_AS/CTR_BT/CTR_BV (src/snark.h:8-12); the entropy stream is
     consumed in the reference's draw order: alpha, beta, s, sk, then one
     error+sign pair per encryption.
+
+    With ``mesh`` set, the 2d+m encryptions shard over the CRS-term axis
+    (parallel/mesh.py) — bit-identical output, zero collectives.
     """
     d, m, n = params.d, params.m, params.n
+
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        def enc_section(key, off, sk, msgs, errs, params, tile=None):
+            return pmesh.encrypt_section_sharded(
+                key, off, sk, msgs, errs, params, mesh, tile=tile
+            )
+    else:
+        enc_section = tlwe.encrypt_section
 
     scalars = sampling.keystream_bytes(ent_key, ent_offset, 24).reshape(3, 8)
     alpha, beta, s = (modp.bytes_to_u64_mod_p(scalars[i]) for i in range(3))
@@ -162,10 +176,10 @@ def setup(
     msg_t = modp.mulmod_p(beta, t_s)[None]
     msgs_v = modp.mulmod_p(beta, v_s[1:])  # i in [1, m)
 
-    b_s = tlwe.encrypt_section(crs_key, params.ctr_s, sk, msgs_s, errs_s, params, tile=tile)
-    b_as = tlwe.encrypt_section(crs_key, params.ctr_as, sk, msgs_as, errs_as, params, tile=tile)
+    b_s = enc_section(crs_key, params.ctr_s, sk, msgs_s, errs_s, params, tile=tile)
+    b_as = enc_section(crs_key, params.ctr_as, sk, msgs_as, errs_as, params, tile=tile)
     b_t = tlwe.encrypt_section(crs_key, params.ctr_bt, sk, msg_t, errs_t, params)
-    b_v = tlwe.encrypt_section(crs_key, params.ctr_bv, sk, msgs_v, errs_v, params)
+    b_v = enc_section(crs_key, params.ctr_bv, sk, msgs_v, errs_v, params)
 
     crs = CRSDev(seed=crs_key.seed, b_s=b_s, b_as=b_as, b_t=b_t[0], b_v=b_v)
     vrs = VRSDev(alpha=alpha, beta=beta, s=s, sk=sk)
@@ -195,13 +209,26 @@ def prover(
     params: Params,
     *,
     tile: int | None = None,
+    mesh=None,
 ) -> ProofDev:
     """src/snark.c:117-190 with fused two-polynomial evaluations.
 
     witness: uint8 bit vector [m] (bit i-1 gates v_i, i in [1, m)).
+    With ``mesh`` set, each evaluation shards its degree axis over the
+    mesh (partial MACs + one psum each — parallel/mesh.py).
     """
     d, m, n = params.d, params.m, params.n
     p_u32 = jnp.uint32(params.p)
+
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        def eval_multi(key, off, b_rows, coeffs, params, tile=None):
+            return pmesh.eval_poly_multi_sharded(
+                key, off, b_rows, coeffs, params, mesh, tile=tile
+            )
+    else:
+        eval_multi = tlwe.eval_poly_multi
 
     delta = modp.bytes_to_u64_mod_p(
         sampling.keystream_bytes(ent_key, ent_offset, 8)
@@ -219,7 +246,9 @@ def prover(
     bw_rows = _pad_even(tlwe.pad_digits(crs.b_v))
     b_w = tlwe.ct_add(
         tlwe.ct_mul_ui(ct_bt, delta),
-        tlwe.eval_poly(crs_key, params.ctr_bv, bw_rows, bw_coeffs, params, tile=tile),
+        eval_multi(
+            crs_key, params.ctr_bv, bw_rows, bw_coeffs[None], params, tile=tile
+        )[0],
     )
 
     # v = v_0 + w;  h = (v^2 - 1) / t   (CRT-NTT engine)
@@ -229,10 +258,10 @@ def prover(
     h = ntt.poly_div_exact_mod_p(num, ssp.t, d)
 
     # fused evaluations: (w, h) over the s section, (v, h) over as
-    ev_s = tlwe.eval_poly_multi(
+    ev_s = eval_multi(
         crs_key, params.ctr_s, crs.b_s, jnp.stack([w, h]), params, tile=tile
     )
-    ev_as = tlwe.eval_poly_multi(
+    ev_as = eval_multi(
         crs_key, params.ctr_as, crs.b_as, jnp.stack([v, h]), params, tile=tile
     )
     v_w, h_ct = ev_s[0], ev_s[1]

@@ -74,7 +74,13 @@ def keystream_bytes(
         skip = byte_offset % 16
         blk = byte_offset // 16
         lo, hi = jnp.uint32(blk & 0xFFFFFFFF), jnp.uint32(blk >> 32)
-    nblocks = -(-(skip + nbytes) // 16)
+    if isinstance(skip, (int, np.integer)):
+        nblocks = -(-(int(skip) + nbytes) // 16)
+    else:
+        # Traced intra-block skip (sharded callers pass per-shard stream
+        # positions as device scalars): over-generate one block and slice
+        # at the traced start.
+        nblocks = -(-(15 + nbytes) // 16)
     ks = keystream_blocks(key, (lo, hi), nblocks, backend=backend)
     return jax.lax.dynamic_slice_in_dim(ks.reshape(-1), skip, nbytes)
 
@@ -84,6 +90,24 @@ def split_offset(byte_offset: int):
     skip = byte_offset % 16
     blk = byte_offset // 16
     return skip, (jnp.uint32(blk & 0xFFFFFFFF), jnp.uint32(blk >> 32))
+
+
+def offset_parts(byte_offset: int) -> np.ndarray:
+    """Static byte offset -> uint32 [3] = (skip, ctr_lo, ctr_hi).
+
+    Host-side form of ``split_offset`` used by the sharded layers: per-
+    shard stream positions are computed as python ints, stacked to a
+    [P, 3] array, and sharded over the mesh so each shard reads its own
+    (traced) position (parallel/mesh.py).
+    """
+    skip = byte_offset % 16
+    blk = byte_offset // 16
+    return np.asarray([skip, blk & 0xFFFFFFFF, blk >> 32], dtype=np.uint32)
+
+
+def parts_to_offset(parts: jnp.ndarray):
+    """uint32 [3] (possibly traced) -> (skip, (ctr_lo, ctr_hi))."""
+    return parts[0], (parts[1], parts[2])
 
 
 def advance_ctr(lo, hi, nblocks: int):

@@ -1,1 +1,3 @@
-"""parallel subpackage."""
+"""parallel subpackage: device meshes and sharded protocol sections."""
+
+from . import mesh  # noqa: F401

@@ -1,0 +1,176 @@
+"""Multi-chip sharding for the SNARK pipeline: mesh + shard_map layer.
+
+The reference is single-threaded C (SURVEY §1: zero OpenMP pragmas, no
+MPI/NCCL); every distributed capability here is greenfield TPU design.
+The enabling property is AES-CTR's O(1) seek (reference rng_seek,
+src/entropy.c:46-56): the CRS keystream is a pure function of
+(seed, byte offset), so each shard regenerates exactly its slice of the
+stream from counter arithmetic — no keystream ever moves over ICI.
+
+Two sharded primitives cover the protocol's heavy sections:
+
+* ``encrypt_section_sharded`` — setup's 2d+m encryptions
+  (src/snark.c:75-110) are embarrassingly parallel over the CRS-term
+  axis: shard i encrypts the contiguous chunk [i*c, (i+1)*c) from its own
+  stream position.  ZERO collectives.
+* ``eval_poly_multi_sharded`` — the prover's hot loop
+  (src/lwe.c:176-186) is an inner product over the degree axis: each
+  shard MACs its d/P-term slice into an int32 partial accumulator
+  (positions <= 255 + 2^23, see eval_poly_multi_acc) and ONE psum of
+  [k, n+1, 88] int32 (~1 MB) rides ICI per fused evaluation pair.
+
+Per-shard stream positions are computed host-side as exact python ints
+and shipped as a sharded uint32 [P, 3] array (skip, ctr_lo, ctr_hi) —
+SPMD-safe even though CTR_CT = 92n is not AES-block aligned.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..models import lwe as tlwe
+from ..ops import digits as dg
+from ..ops import sampling
+from ..utils.params import Params
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
+    """1-D device mesh over the first n_devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _mesh_axis(mesh: Mesh) -> tuple[str, int]:
+    (axis,) = mesh.axis_names
+    return axis, mesh.shape[axis]
+
+
+def _chunk_parts(
+    section_offset: int, per_item_bytes: int, chunk: int, nshards: int
+) -> np.ndarray:
+    """Per-shard stream positions: uint32 [P, 3] (skip, ctr_lo, ctr_hi)."""
+    return np.stack(
+        [
+            sampling.offset_parts(section_offset + i * chunk * per_item_bytes)
+            for i in range(nshards)
+        ]
+    )
+
+
+def _pad_to(x: jnp.ndarray, total: int) -> jnp.ndarray:
+    if x.shape[0] == total:
+        return x
+    pad = [(0, total - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def encrypt_section_sharded(
+    key: sampling.PRGKey,
+    section_offset: int,
+    sk: jnp.ndarray,
+    msgs: jnp.ndarray,
+    errs: jnp.ndarray,
+    params: Params,
+    mesh: Mesh,
+    *,
+    tile: int | None = None,
+) -> jnp.ndarray:
+    """Compressed b-rows [B, 88], B encryptions sharded over CRS terms.
+
+    Bit-identical to ``lwe.encrypt_section`` (itself == B sequential
+    reference encryptions, src/snark.c:75-110): shard i re-derives the
+    stream position of term i*c by counter arithmetic.  A ragged tail is
+    padded with dummy terms on the last shard (they consume keystream
+    past the section, whose bytes no real term reads) and dropped.
+    """
+    axis, nshards = _mesh_axis(mesh)
+    total = msgs.shape[0]
+    chunk = -(-total // nshards)
+    padded = chunk * nshards
+    offs = _chunk_parts(section_offset, params.ctr_ct, chunk, nshards)
+    msgs_p = _pad_to(msgs, padded)
+    errs_p = _pad_to(errs, padded)
+
+    def shard_fn(offs_l, msgs_l, errs_l, sk_l):
+        off = sampling.parts_to_offset(offs_l[0])
+        return tlwe.encrypt_section(
+            key, off, sk_l, msgs_l, errs_l, params, tile=tile
+        )
+
+    out = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )(jnp.asarray(offs), msgs_p, errs_p, sk)
+    return out[:total]
+
+
+def eval_poly_multi_sharded(
+    key: sampling.PRGKey,
+    section_offset: int,
+    b_rows: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    params: Params,
+    mesh: Mesh,
+    *,
+    tile: int | None = None,
+) -> jnp.ndarray:
+    """k fused homomorphic evaluations, degree axis sharded over the mesh.
+
+    Each shard MACs its slice of the d terms (regenerating only its
+    keystream slice), then one int32 psum + carry_fold yields the exact
+    eval_poly result (src/lwe.c:176-186) replicated on every shard.
+    Safe for <= 2^7 shards: per-position partials are <= 255 + 2^23.
+    """
+    axis, nshards = _mesh_axis(mesh)
+    k, d = coeffs.shape
+    chunk = -(-d // nshards)
+    if tile is not None:
+        chunk = -(-chunk // tile) * tile
+    padded = chunk * nshards
+    offs = _chunk_parts(section_offset, params.ctr_ct, chunk, nshards)
+    # Padding coefficients with zeros adds exact zeros to the MAC (the
+    # dummy terms' keystream rows are multiplied by 0).
+    coeffs_p = _pad_to(coeffs.T, padded).T
+    b_p = _pad_to(b_rows[:, : dg.DIGITS], padded)
+
+    def shard_fn(offs_l, b_l, c_l):
+        off = sampling.parts_to_offset(offs_l[0])
+        acc = tlwe.eval_poly_multi_acc(
+            key, off, b_l, c_l, params, tile=tile, axis_name=axis
+        )
+        return dg.carry_fold(jax.lax.psum(acc, axis))
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(None, axis)),
+        out_specs=P(),
+    )(jnp.asarray(offs), b_p, coeffs_p)
+
+
+def eval_poly_sharded(
+    key: sampling.PRGKey,
+    section_offset: int,
+    b_rows: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    params: Params,
+    mesh: Mesh,
+    *,
+    tile: int | None = None,
+) -> jnp.ndarray:
+    """Single-polynomial wrapper: uint8 [n+1, 88]."""
+    return eval_poly_multi_sharded(
+        key, section_offset, b_rows, coeffs[None], params, mesh, tile=tile
+    )[0]

@@ -1,0 +1,102 @@
+"""Sharded vs single-device bit-exactness on an 8-device virtual mesh.
+
+The reference has no distributed mode (SURVEY §1); the contract here is
+internal: every sharded primitive must equal its single-device TPU
+counterpart digit-for-digit (which is itself oracle-conformant, see
+test_snark_tpu.py).  Covers ragged shard counts and the full
+setup→prove→verify pipeline with mesh sharding enabled.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from c_lwe_snarks_tpu.models import lwe as tlwe
+from c_lwe_snarks_tpu.models import snark as tsnark
+from c_lwe_snarks_tpu.models import ssp as tssp
+from c_lwe_snarks_tpu.ops import sampling
+from c_lwe_snarks_tpu.parallel import mesh as pmesh
+from c_lwe_snarks_tpu.utils import params as params_mod
+
+P = params_mod.Params(d=16, m=8, n=32)
+CRS_SEED = bytes(range(40, 80))
+ENT_SEED = bytes(range(40))
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
+    return pmesh.make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return sampling.PRGKey(CRS_SEED), sampling.PRGKey(ENT_SEED)
+
+
+def test_encrypt_section_sharded_matches(mesh8, keys):
+    crs_key, ent_key = keys
+    sk = jax.jit(lambda: tlwe.key_gen(ent_key, 0, P))()
+    rng = np.random.default_rng(0)
+    for count in (16, 7):  # even shards and a ragged tail
+        msgs = jnp.asarray(rng.integers(0, P.p, size=count, dtype=np.uint32))
+        errs = jnp.asarray(rng.integers(0, 256, size=(count, 88), dtype=np.uint8))
+        ref = jax.jit(
+            lambda m, e: tlwe.encrypt_section(crs_key, P.ctr_s, sk, m, e, P)
+        )(msgs, errs)
+        shd = jax.jit(
+            lambda m, e: pmesh.encrypt_section_sharded(
+                crs_key, P.ctr_s, sk, m, e, P, mesh8
+            )
+        )(msgs, errs)
+        np.testing.assert_array_equal(np.asarray(shd), np.asarray(ref))
+
+
+def test_eval_poly_multi_sharded_matches(mesh8, keys):
+    crs_key, ent_key = keys
+    sk = jax.jit(lambda: tlwe.key_gen(ent_key, 0, P))()
+    rng = np.random.default_rng(1)
+    msgs = jnp.asarray(rng.integers(0, P.p, size=P.d, dtype=np.uint32))
+    errs = jnp.asarray(rng.integers(0, 256, size=(P.d, 88), dtype=np.uint8))
+    b_rows = jax.jit(
+        lambda m, e: tlwe.encrypt_section(crs_key, P.ctr_s, sk, m, e, P)
+    )(msgs, errs)
+    coeffs = jnp.asarray(rng.integers(0, P.p, size=(2, P.d), dtype=np.uint32))
+    ref = jax.jit(
+        lambda b, c: tlwe.eval_poly_multi(crs_key, P.ctr_s, b, c, P)
+    )(b_rows, coeffs)
+    shd = jax.jit(
+        lambda b, c: pmesh.eval_poly_multi_sharded(
+            crs_key, P.ctr_s, b, c, P, mesh8
+        )
+    )(b_rows, coeffs)
+    np.testing.assert_array_equal(np.asarray(shd), np.asarray(ref))
+
+
+def test_full_pipeline_sharded_matches(mesh8, keys):
+    crs_key, ent_key = keys
+    off_setup = tssp.entropy_bytes_random_ssp(P)
+    off_prove = off_setup + tsnark.setup_entropy_bytes(P)
+
+    def run(mesh):
+        wits, inst = tssp.random_ssp(ent_key, 0, P)
+        crs, vrs = tsnark.setup(crs_key, ent_key, off_setup, inst, P, mesh=mesh)
+        pi = tsnark.prover(
+            crs_key, ent_key, off_prove, crs, inst, wits, P, mesh=mesh
+        )
+        ok = tsnark.verifier(vrs, inst, pi, P)
+        return crs, pi, ok
+
+    crs_r, pi_r, ok_r = jax.jit(lambda: run(None))()
+    crs_s, pi_s, ok_s = jax.jit(lambda: run(mesh8))()
+    assert bool(ok_r) and bool(ok_s)
+    for name in ("b_s", "b_as", "b_t", "b_v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(crs_s, name)), np.asarray(getattr(crs_r, name)),
+            err_msg=name,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(pi_s.stack()), np.asarray(pi_r.stack())
+    )
