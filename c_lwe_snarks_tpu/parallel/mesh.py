@@ -136,6 +136,10 @@ def eval_poly_multi_sharded(
     axis, nshards = _mesh_axis(mesh)
     k, d = coeffs.shape
     chunk = -(-d // nshards)
+    # An odd ciphertext count is not AES-block aligned (CTR_CT = 92n ≡ 8
+    # mod 16 at n=1470); keep per-shard chunks even so every shard's tile
+    # loop starts on a whole-block boundary.
+    chunk = -(-chunk // 2) * 2
     if tile is not None:
         chunk = -(-chunk // tile) * tile
     padded = chunk * nshards
