@@ -27,7 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..oracle import aes as host_aes
 from .aes_tpu import _xtime_bits
-from .gf_tower import sbox_tower_bits as _sbox_bits
+from .sbox_opt import sbox_bits_opt as _sbox_bits
+
+_FULL32 = np.uint32(0xFFFFFFFF)
 from .bitslice import transpose32
 
 # row q = 4r + c  <->  FIPS input byte i = r + 4c
@@ -122,6 +124,126 @@ def _kernel(start_ref, rk_ref, const_ref, out_ref, *, tile_w: int):
     out_ref[0] = w.reshape(128, tile_w)  # leading-dim merge: row = 4b+g
 
 
+@functools.cache
+def _v2_meta_np() -> np.ndarray:
+    """Static per-(plane, row) control tensors for _kernel_v2.
+
+    uint32 [8, 4, 16, 1]: [k, 0] = left-shift placing the counter bit at
+    bit 31; [k, 1] = ~0 where the row is a constant (nonce byte, or the
+    in-word pattern rows k < 5 of counter byte 8); [k, 2] = ~0 on pattern
+    rows; [k, 3] = ~0 on ctr-hi-word rows (bytes 12-15; plane-indep).
+    """
+    meta = np.zeros((8, 4, 16, 1), np.uint32)
+    full = np.uint32(0xFFFFFFFF)
+    for k in range(8):
+        for q in range(16):
+            byte = _BYTE_OF_ROW[q]
+            shift = 0
+            if byte < 8:
+                meta[k, 1, q, 0] = full
+            elif byte == 8:
+                if k < 5:
+                    meta[k, 1, q, 0] = meta[k, 2, q, 0] = full
+                else:
+                    shift = k - 5
+            elif byte < 12:
+                shift = 8 * (byte - 8) + k - 5
+            else:
+                shift = 8 * (byte - 12) + k
+                meta[k, 3, q, 0] = full
+            meta[k, 0, q, 0] = 31 - shift
+    return meta
+
+
+def _v2_meta_jnp() -> jnp.ndarray:
+    # jnp.asarray per call: a cached device array would leak tracers when
+    # first materialized inside a jit trace.
+    return jnp.asarray(_v2_meta_np())
+
+
+def _kernel_v2(start_ref, rk_ref, const_ref, meta_ref, out_ref, *, tile_w: int):
+    """Overhead-free variant of _kernel (same output, new layout).
+
+    Kernel-bisection on a v5e showed the 14 cipher rounds cost ~3 us/tile
+    while counter assembly (transpose32 + 128 single-row concatenates) and
+    the XLA-side [., 128, Wt] -> [., Wt, 128] transpose cost ~80 us.  This
+    version (a) builds the counter bit planes directly with per-row static
+    shift/select tensors — no bit-matrix transposes, no row concatenates —
+    and (b) writes the keystream out in [Wt, 128] word order so no XLA
+    transpose is needed afterwards.
+    """
+    i = pl.program_id(0)
+    base_lo = start_ref[0] + jnp.uint32(i * tile_w * 32)
+    base_hi = start_ref[1] + (base_lo < start_ref[0]).astype(jnp.uint32)
+
+    # Per-lane counter words: block (w, b) has ctr64 = base + 32w + b.
+    # Split base_lo + 32w = (V0 << 5) + L: lanes share the 5-bit phase L,
+    # and the 32 in-word blocks b only touch (V0, H0) through the carry
+    # pattern C = {b : L + b >= 32}.
+    L = base_lo & jnp.uint32(31)
+    nz = L > 0
+    # patterns as uint32 words over b: bit b of P_k(L) = bit k of (L+b)%32
+    rot = lambda x: jnp.where(nz, (x >> L) | (x << (jnp.uint32(32) - L)), x)
+    pats = [rot(jnp.uint32(p)) for p in
+            (0xAAAAAAAA, 0xCCCCCCCC, 0xF0F0F0F0, 0xFF00FF00, 0xFFFF0000)]
+    carry_pat = jnp.where(
+        nz, _FULL32 << (jnp.uint32(32) - L), jnp.uint32(0)
+    )  # bits b with L + b >= 32
+
+    w_iota = jax.lax.broadcasted_iota(jnp.uint32, (1, tile_w), 1)
+    t_lane = base_lo + (w_iota << 5)  # [1, W]
+    v0 = t_lane >> 5  # upper 27 bits (lane-only part)
+    v1 = v0 + 1
+    h0 = base_hi + (t_lane < base_lo).astype(jnp.uint32)
+    h1 = h0 + 1
+    # hi-word carry only when the 27-bit part wraps AND b carries
+    himask = (0 - (v0 == jnp.uint32(0x07FFFFFF)).astype(jnp.uint32)) & carry_pat
+
+    hi = meta_ref[0, 3]  # [16, 1] ~0 on ctr-hi rows (plane-independent)
+    vnc = (h0 & hi) | (v0 & ~hi)  # [16, W]
+    vc = (h1 & hi) | (v1 & ~hi)
+    cmask = (himask & hi) | (carry_pat & ~hi)
+
+    planes = []
+    for k in range(8):
+        sh31 = meta_ref[k, 0]  # [16, 1] uint32 left-shift amounts
+        ext = lambda v: (
+            ((v << sh31).astype(jnp.int32) >> 31)
+        ).astype(jnp.uint32)
+        bit_nc = ext(vnc)
+        word = bit_nc ^ ((bit_nc ^ ext(vc)) & cmask)
+        constmask, patmask = meta_ref[k, 1], meta_ref[k, 2]
+        patval = pats[k] if k < 5 else jnp.uint32(0)
+        rowval = (patval & patmask) | (const_ref[k] & ~patmask)  # [16, 1]
+        planes.append((rowval & constmask) | (word & ~constmask))
+
+    planes = [p ^ rk_ref[0, k] for k, p in enumerate(planes)]
+
+    def round_fn(rnd, planes):
+        planes = _sbox_bits(planes)
+        planes = _shift_rows_rm(planes)
+        planes = _mix_columns_rm(planes)
+        return [p ^ rk_ref[rnd, k] for k, p in enumerate(planes)]
+
+    planes = jax.lax.fori_loop(1, 14, round_fn, planes, unroll=False)
+    planes = _sbox_bits(planes)
+    planes = _shift_rows_rm(planes)
+    planes = ark_final = [p ^ rk_ref[14, k] for k, p in enumerate(planes)]
+
+    # un-bitslice + in-kernel transpose: row w of the output holds the 128
+    # LE words (4b + g) of its 32 blocks, so the caller only bitcasts.
+    words = []
+    for g in range(4):
+        rows = []
+        for jj in range(4):
+            q = _ROW_OF_BYTE[4 * g + jj]
+            rows.extend(planes[k][q][None, :] for k in range(8))
+        p32 = jnp.concatenate(rows, axis=0)  # [32, Wt]
+        words.append(transpose32(p32))  # [32(b), Wt]
+    w = jnp.stack(words, axis=1)  # [32(b), 4(g), Wt]
+    out_ref[0] = w.reshape(128, tile_w).T  # [Wt, 128], col = 4b+g
+
+
 def make_key_pallas(seed: bytes) -> dict:
     """Host key schedule in the kernel's row-major bit-plane layout.
 
@@ -139,11 +261,16 @@ def make_key_pallas(seed: bytes) -> dict:
             rk[:, k, q, 0] = ((rks[:, byte] >> k) & 1).astype(np.uint32) * 0xFFFFFFFF
             if byte < 8:
                 const[k, q] = np.uint32(int((nonce_bytes[byte] >> k) & 1) * 0xFFFFFFFF)
-    return {"rk_rm": jnp.asarray(rk), "const_rm": jnp.asarray(const)}
+    return {
+        "rk_rm": jnp.asarray(rk),
+        "const_rm": jnp.asarray(const),
+        "const_rm2": jnp.asarray(const[:, :, None]),  # [8, 16, 1] for v2
+    }
 
 
 def keystream_blocks(
-    key: dict, start_ctr, nblocks: int, *, tile_w: int = 512, interpret: bool = False
+    key: dict, start_ctr, nblocks: int, *, tile_w: int = 512,
+    interpret: bool = False, version: int = 2
 ) -> jnp.ndarray:
     """Keystream bytes uint8 [nblocks, 16] for counters [start, start+n)."""
     if isinstance(start_ctr, (tuple, list)):
@@ -158,6 +285,31 @@ def keystream_blocks(
     blocks_per_tile = tile_w * 32
     ntiles = -(-nblocks // blocks_per_tile)
     ngroups = ntiles * tile_w
+
+    if version == 2:
+        out = pl.pallas_call(
+            functools.partial(_kernel_v2, tile_w=tile_w),
+            out_shape=jax.ShapeDtypeStruct((ntiles, tile_w, 128), jnp.uint32),
+            grid=(ntiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (15, 8, 16, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (8, 16, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (8, 4, 16, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(jnp.stack([lo, hi]), key["rk_rm"], key["const_rm2"], _v2_meta_jnp())
+        b = jax.lax.bitcast_convert_type(out, jnp.uint8)
+        return b.reshape(ngroups * 32, 16)[:nblocks]
 
     out = pl.pallas_call(
         functools.partial(_kernel, tile_w=tile_w),
@@ -177,6 +329,49 @@ def keystream_blocks(
     # [tiles, 128, Wt] -T-> [tiles, Wt, 128] -> LE bytes in flat stream order
     b = jax.lax.bitcast_convert_type(out.transpose(0, 2, 1), jnp.uint8)
     return b.reshape(ngroups * 32, 16)[:nblocks]
+
+
+def keystream_words(
+    key: dict, start_ctr, nblocks: int, *, tile_w: int = 512,
+    interpret: bool = False
+) -> jnp.ndarray:
+    """Keystream as uint32 [4 * nblocks] little-endian stream words.
+
+    The uint8 view of this array IS the byte stream, but no u32->u8
+    bitcast is materialized: on TPU a dtype bitcast is a physical
+    re-tiling pass that measured as ~half of total keystream wall time.
+    Hot consumers (expand_a) extract bytes with fused shifts instead.
+    """
+    if isinstance(start_ctr, (tuple, list)):
+        lo, hi = start_ctr
+        lo = jnp.asarray(lo, jnp.uint32)
+        hi = jnp.asarray(hi, jnp.uint32)
+    else:
+        c = int(start_ctr)
+        lo = jnp.uint32(c & 0xFFFFFFFF)
+        hi = jnp.uint32(c >> 32)
+    blocks_per_tile = tile_w * 32
+    ntiles = -(-nblocks // blocks_per_tile)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, tile_w=tile_w),
+        out_shape=jax.ShapeDtypeStruct((ntiles, tile_w, 128), jnp.uint32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (15, 8, 16, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, 16, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, 4, 16, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_w, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(jnp.stack([lo, hi]), key["rk_rm"], key["const_rm2"], _v2_meta_jnp())
+    return out.reshape(-1)[: 4 * nblocks]
 
 
 def keystream_bytes(

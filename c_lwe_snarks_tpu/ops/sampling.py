@@ -137,6 +137,28 @@ def sample_digit_rows(
     return rows[:, :ndigits]
 
 
+def keystream_words(
+    key: PRGKey, start_ctr, nblocks: int, *, backend: str = "auto"
+) -> jnp.ndarray:
+    """uint32 [4 * nblocks] LE stream words for counters [start, start+n).
+
+    The hot-path form of the keystream: on TPU the Pallas kernel emits
+    words directly and consumers extract bytes with fused shifts — a
+    u32->u8 bitcast is a physical re-tiling pass on TPU and measured as
+    ~half of total keystream wall time.
+    """
+    if backend == "auto":
+        backend = _default_backend()
+    if backend == "pallas":
+        return aes_pallas.keystream_words(key.pallas_key, start_ctr, nblocks)
+    ks = aes_tpu.keystream_blocks(key.jnp_key, start_ctr, _pad32(nblocks))[:nblocks]
+    # CPU/jnp path: bitcast is cheap off-TPU and keeps bit-exact coverage
+    # of the word-consuming callers in the CPU test suite.
+    return jax.lax.bitcast_convert_type(
+        ks.reshape(nblocks, 4, 4), jnp.uint32
+    ).reshape(-1)
+
+
 def expand_a(
     key: PRGKey,
     byte_offset,
@@ -153,6 +175,27 @@ def expand_a(
     (src/snark.h:8); a batch is one contiguous slab, byte-identical to
     ``count`` sequential ct_import calls (src/lwe.c:122-126).
     """
+    if draw_bytes % 4 == 0 and ndigits % 4 == 0:
+        skip, ctr = (byte_offset if isinstance(byte_offset, tuple)
+                     else split_offset(byte_offset))
+        aligned = (skip % 4 == 0) if isinstance(skip, (int, np.integer)) else True
+        if aligned:
+            # word path: extract bytes with fused shifts, no u8 bitcast.
+            # Hot-path skips are 0 or 8 (section offsets are multiples of
+            # CTR_CT = 92n with n even); traced skips from the sharded
+            # layers are word-aligned for the same reason.
+            total = count * n * draw_bytes
+            nblocks = -(-(15 + total) // 16) if not isinstance(
+                skip, (int, np.integer)
+            ) else -(-(int(skip) + total) // 16)
+            words = keystream_words(key, ctr, nblocks, backend=backend)
+            w0 = skip // 4 if not isinstance(skip, (int, np.integer)) else int(skip) // 4
+            rows = jax.lax.dynamic_slice_in_dim(
+                words, w0, count * n * (draw_bytes // 4)
+            ).reshape(count, n, draw_bytes // 4)[:, :, : ndigits // 4]
+            shifts = jnp.arange(4, dtype=jnp.uint32) * 8
+            d = ((rows[..., None] >> shifts) & jnp.uint32(255)).astype(jnp.uint8)
+            return d.reshape(count, n, ndigits)
     ks = keystream_bytes(key, byte_offset, count * n * draw_bytes, backend=backend)
     rows = ks.reshape(count, n, draw_bytes)
     return rows[:, :, :ndigits]
