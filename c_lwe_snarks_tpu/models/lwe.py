@@ -167,11 +167,22 @@ def encrypt_section(
     total = msgs.shape[0]
     if tile is None:
         tile = min(total, 256)
-    if total % tile or tile % 2:
+    if total <= 2 or tile % 2:
         return encrypt_b(
             sampling.expand_a(key, section_offset, total, params.n),
             sk, msgs, errs, params,
         )
+    if total % tile:
+        # Pad with dummy encryptions to a whole number of tiles (their
+        # keystream lies past the section, which no real term reads) and
+        # drop them — never expand an unaligned section in one slab.
+        extra = -total % tile
+        pad = [(0, extra)] + [(0, 0)] * (errs.ndim - 1)
+        out = encrypt_section(
+            key, section_offset, sk,
+            jnp.pad(msgs, (0, extra)), jnp.pad(errs, pad), params, tile=tile,
+        )
+        return out[:total]
     ntiles = total // tile
     skip, ctr0 = _offset_skip_ctr(section_offset)
     blocks_per_tile = tile * params.ctr_ct // 16

@@ -191,11 +191,17 @@ def setup(
 # --------------------------------------------------------------------------
 
 
-def _pad_even(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    if x.shape[axis] % 2 == 0:
+def _pad_multiple(x: jnp.ndarray, mult: int, axis: int = 0) -> jnp.ndarray:
+    """Zero-pad axis to a multiple of mult (>= 2 keeps AES-block alignment).
+
+    Padding the b_v evaluation with zero coefficients adds exact zeros to
+    the MAC; the dummy terms read keystream past the section end, which
+    no real term consumes."""
+    extra = -x.shape[axis] % mult
+    if extra == 0:
         return x
     pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, 1)
+    pad[axis] = (0, extra)
     return jnp.pad(x, pad)
 
 
@@ -242,8 +248,11 @@ def prover(
     # b_w = delta * ct(beta t) + sum_{witness} ct(beta v_i):
     # the masked sum is a homomorphic evaluation with 0/1 coefficients.
     ct_bt = tlwe.ct_import(crs_key, params.ctr_bt, crs.b_t[None], params)[0]
-    bw_coeffs = _pad_even(witness[: m - 1].astype(jnp.uint32))
-    bw_rows = _pad_even(tlwe.pad_digits(crs.b_v))
+    # pad so the default eval tiling divides the padded degree: to a full
+    # tile when m-1 exceeds one, else to even (one tile of the whole set)
+    bw_mult = (tile or 256) if (m - 1) >= (tile or 256) else 2
+    bw_coeffs = _pad_multiple(witness[: m - 1].astype(jnp.uint32), bw_mult)
+    bw_rows = _pad_multiple(tlwe.pad_digits(crs.b_v), bw_mult)
     b_w = tlwe.ct_add(
         tlwe.ct_mul_ui(ct_bt, delta),
         eval_multi(

@@ -29,9 +29,22 @@ class SSPDev:
     v: jnp.ndarray
 
 
+def witness_pad_bytes(params: Params) -> tuple[int, int]:
+    """(witness draw bytes, pad to the next AES-block boundary).
+
+    The reference draws the instance from getrandom(2) with no stream
+    layout at all (src/ssp.c:56,62); the seeded layout here is this
+    framework's protocol definition, and block-aligning the polynomial
+    section lets every m-tile regenerate its slice from pure counter
+    arithmetic (and shard over chips the same way)."""
+    wb = params.m // 8
+    return wb, (-wb) % 16
+
+
 def entropy_bytes_random_ssp(params: Params) -> int:
     """Entropy stream bytes consumed by random_ssp (witness + m polys)."""
-    return params.m // 8 + params.m * 8 * params.d
+    wb, pad = witness_pad_bytes(params)
+    return wb + pad + params.m * 8 * params.d
 
 
 def witness_bits(w_bytes: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -41,27 +54,45 @@ def witness_bits(w_bytes: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 def random_ssp(
-    key: sampling.PRGKey, byte_offset: int, params: Params
+    key: sampling.PRGKey, byte_offset: int, params: Params, *, tile: int = 256
 ) -> tuple[jnp.ndarray, SSPDev]:
     """(witness bits uint8 [m], SSPDev) from the entropy stream.
 
-    Draw order == src/ssp.c:37-77: input (m//8 bytes), then 8d bytes per
-    v_i.  Each uint64-LE word is reduced mod p on import (the nmod_poly
-    coercion of src/ssp.c:28-34).
+    Draw order == src/ssp.c:37-77: input (m//8 bytes, block-padded), then
+    8d bytes per v_i.  Each uint64-LE word is reduced mod p on import
+    (the nmod_poly coercion of src/ssp.c:28-34).  Polynomials generate in
+    m-tiles inside a lax.scan — at release scale one flat draw is 5.7 GB
+    of keystream — and t accumulates in-scan, never materializing a
+    masked copy of v.
     """
     m, d = params.m, params.d
-    wb = m // 8
-    ks = sampling.keystream_bytes(key, byte_offset, wb + m * 8 * d)
-    wits = witness_bits(ks[:wb], m)
-    words = ks[wb:].reshape(m, d, 8).astype(jnp.uint32)
-    shifts = jnp.arange(4, dtype=jnp.uint32) * 8
-    lo = jnp.sum(words[..., :4] << shifts, axis=-1)
-    hi = jnp.sum(words[..., 4:] << shifts, axis=-1)
-    v = modp.fold64_mod_p(hi, lo)  # [m, d]
+    wb, pad = witness_pad_bytes(params)
+    assert byte_offset % 16 == 0, "random_ssp section must be block-aligned"
+    wits = witness_bits(sampling.keystream_bytes(key, byte_offset, wb), m)
 
-    # t = v_0 + sum_{i>=1, input bit i-1} v_i - 1
-    mask = jnp.concatenate([jnp.ones((1,), jnp.uint8), wits[: m - 1]])
-    sel = jnp.where(mask[:, None].astype(bool), v, jnp.zeros_like(v))
-    t = modp.sum_mod_p(sel, axis=0)
+    tile = min(tile, m)
+    mtiles = -(-m // tile)
+    m_pad = mtiles * tile
+    blocks_per_tile = tile * 8 * d // 16
+    _, ctr0 = sampling.split_offset(byte_offset + wb + pad)
+    # t-mask: v_0 always, v_i gated by witness bit i-1; padding rows off.
+    mask = jnp.concatenate(
+        [jnp.ones((1,), jnp.uint8), wits[: m - 1],
+         jnp.zeros((m_pad - m,), jnp.uint8)]
+    ).reshape(mtiles, tile)
+
+    def step(carry, mask_t):
+        ctr, t_acc = carry
+        words = sampling.keystream_words(key, ctr, blocks_per_tile)
+        w = words.reshape(tile, d, 2)
+        vi = modp.fold64_mod_p(w[..., 1], w[..., 0])  # [tile, d]
+        sel = jnp.where(mask_t[:, None].astype(bool), vi, jnp.zeros_like(vi))
+        t_acc = modp.addmod_p(t_acc, modp.sum_mod_p(sel, axis=0))
+        return (sampling.advance_ctr(*ctr, blocks_per_tile), t_acc), vi
+
+    (_, t), v = jax.lax.scan(
+        step, (ctr0, jnp.zeros((d,), jnp.uint32)), mask
+    )
+    v = v.reshape(m_pad, d)[:m]
     t = t.at[0].set(modp.submod_p(t[0], jnp.uint32(1)))
     return wits, SSPDev(t=t, v=v)

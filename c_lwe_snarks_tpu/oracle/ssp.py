@@ -45,9 +45,16 @@ class SSP:
 def random_ssp(params: Params, entropy: EntropySource) -> tuple[int, SSP]:
     """Returns (input_bits_as_int, ssp).  Matches src/ssp.c:37-77.
 
-    Entropy draw order: input (m bits), then 8*d bytes per v_i in order.
+    Entropy draw order: input (m bits), a discarded pad to the next
+    16-byte boundary (this framework's layout definition — the reference
+    draws from getrandom with no layout, src/ssp.c:56,62; alignment lets
+    shards regenerate polynomial slices by counter arithmetic), then
+    8*d bytes per v_i in order.
     """
     witness = entropy.urandomb(params.m)
+    pad = (-(params.m // 8)) % 16
+    if pad:
+        entropy.getrandom(pad)  # discarded alignment draw
     v = []
     t: list[int] = []
     for i in range(params.m):

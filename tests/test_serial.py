@@ -1,0 +1,91 @@
+"""Persistence formats: roundtrips + reload-and-verify.
+
+The CRS byte format is the reference's compressed form (seed + 92-byte
+b-rows, src/lwe.c:115-126, src/snark.h:31-37); the SSP buffer is the
+reference's flat layout (src/ssp.h:6-9).  The strongest check: a proof
+verifies against a CRS/VRS that went through bytes and back.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from c_lwe_snarks_tpu.models import snark as tsnark
+from c_lwe_snarks_tpu.models import ssp as tssp
+from c_lwe_snarks_tpu.ops import sampling
+from c_lwe_snarks_tpu.utils import obs, serial
+from c_lwe_snarks_tpu.utils import params as params_mod
+
+P = params_mod.custom(d=32, m=16)
+CRS_SEED = bytes(range(40, 80))
+ENT_SEED = bytes(range(40))
+
+
+@pytest.fixture(scope="module")
+def protocol_run():
+    crs_key = sampling.PRGKey(CRS_SEED)
+    ent_key = sampling.PRGKey(ENT_SEED)
+    off_setup = tssp.entropy_bytes_random_ssp(P)
+    off_prove = off_setup + tsnark.setup_entropy_bytes(P)
+
+    @jax.jit
+    def run():
+        wits, inst = tssp.random_ssp(ent_key, 0, P)
+        crs, vrs = tsnark.setup(crs_key, ent_key, off_setup, inst, P)
+        pi = tsnark.prover(crs_key, ent_key, off_prove, crs, inst, wits, P)
+        return wits, inst, crs, vrs, pi
+
+    return run()
+
+
+def test_crs_roundtrip(protocol_run):
+    _, _, crs, _, _ = protocol_run
+    blob = serial.crs_to_bytes(crs, P)
+    assert len(blob) == 40 + 92 * (2 * P.d + 1 + (P.m - 1))
+    crs2 = serial.crs_from_bytes(blob, P)
+    assert crs2.seed == crs.seed
+    for name in ("b_s", "b_as", "b_t", "b_v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(crs2, name)), np.asarray(getattr(crs, name))
+        )
+
+
+def test_ssp_buffer_roundtrip(protocol_run):
+    _, inst, _, _, _ = protocol_run
+    buf = serial.ssp_to_buffer(inst, P)
+    assert len(buf) == 8 * P.d * (P.m + 1)  # src/ssp.h:6-9 live layout
+    inst2 = serial.ssp_from_buffer(buf, P)
+    np.testing.assert_array_equal(np.asarray(inst2.t), np.asarray(inst.t))
+    np.testing.assert_array_equal(np.asarray(inst2.v), np.asarray(inst.v))
+
+
+def test_reloaded_artifacts_verify(protocol_run, tmp_path):
+    wits, inst, crs, vrs, pi = protocol_run
+    for name, blob in [
+        ("crs", serial.crs_to_bytes(crs, P)),
+        ("vrs", serial.vrs_to_bytes(vrs, P)),
+        ("proof", serial.proof_to_bytes(pi, P)),
+        ("ssp", serial.ssp_to_buffer(inst, P)),
+    ]:
+        serial.save(str(tmp_path / f"{name}.bin"), blob)
+    vrs2 = serial.vrs_from_bytes(serial.load(str(tmp_path / "vrs.bin")), P)
+    pi2 = serial.proof_from_bytes(serial.load(str(tmp_path / "proof.bin")), P)
+    inst2 = serial.ssp_from_buffer(serial.load(str(tmp_path / "ssp.bin")), P)
+    ok = jax.jit(lambda v, i, p: tsnark.verifier(v, i, p, P))(vrs2, inst2, pi2)
+    assert bool(ok)
+    # tampered reload must reject
+    bad = bytearray(serial.proof_to_bytes(pi, P))
+    bad[0] ^= 1
+    pi_bad = serial.proof_from_bytes(bytes(bad), P)
+    assert not bool(
+        jax.jit(lambda v, i, p: tsnark.verifier(v, i, p, P))(vrs2, inst2, pi_bad)
+    )
+
+
+def test_decrypt_probes(protocol_run):
+    _, inst, crs, vrs, pi = protocol_run
+    checks = obs.probe_crs(crs, vrs, P)
+    assert all(bool(v) for v in checks.values()), checks
+    pchecks = obs.probe_proof(pi, vrs, P)
+    assert bool(pchecks["pke_h"])
