@@ -55,8 +55,16 @@ class AesCtrStream:
         """Ensure _buf covers byte range [start, end)."""
         first_block = start // 16
         nblocks = max((end + 15) // 16 - first_block, self._CHUNK_BLOCKS)
-        ks = aes.ctr_keystream(self.key, self.nonce, first_block, nblocks)
-        self._buf = ks.tobytes()
+        from .. import native as _native
+
+        if _native.available():
+            # native host runtime (bit-exact, tested vs the pure path)
+            self._buf = _native.keystream(
+                self.key, self.nonce, first_block * 16, nblocks * 16
+            )
+        else:
+            ks = aes.ctr_keystream(self.key, self.nonce, first_block, nblocks)
+            self._buf = ks.tobytes()
         self._buf_start = first_block * 16
 
     def gen(self, count: int) -> bytes:
