@@ -11,3 +11,26 @@ Each runner prints machine-readable ``name=value`` lines (seconds) plus a
 JSON summary; `bench.py` at the repo root remains the one-line headline
 metric for the driver.
 """
+
+import os as _os
+
+
+def setup_cache() -> None:
+    """Persistent XLA compilation cache (release-profile programs take
+    minutes to compile; reruns must not pay that again)."""
+    import jax
+
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", _os.path.join(here, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def block(tree):
+    """Block on every array leaf of a pytree; returns the tree."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+    return tree

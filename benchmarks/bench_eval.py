@@ -23,10 +23,12 @@ from c_lwe_snarks_tpu.models import lwe as tlwe
 from c_lwe_snarks_tpu.ops import sampling
 from c_lwe_snarks_tpu.utils import params as params_mod
 
+from . import setup_cache
 from .stats import mean_3sigma
 
 
 def run(d: int = 1 << 15, k: int = 1, reps: int = 5) -> dict:
+    setup_cache()
     P = params_mod.custom(d=d, m=64)
     key = sampling.PRGKey(bytes(range(40, 80)))
     rng = np.random.default_rng(0)

@@ -22,10 +22,12 @@ from c_lwe_snarks_tpu.models import lwe as tlwe
 from c_lwe_snarks_tpu.ops import sampling
 from c_lwe_snarks_tpu.utils import params as params_mod
 
+from . import setup_cache
 from .stats import mean_3sigma
 
 
 def run(batch: int = 4096, reps: int = 5, params=None) -> dict:
+    setup_cache()
     P = params or params_mod.release()
     crs_key = sampling.PRGKey(bytes(range(40, 80)))
     ent_key = sampling.PRGKey(bytes(range(40)))

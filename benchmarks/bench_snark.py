@@ -24,6 +24,9 @@ from c_lwe_snarks_tpu.utils import params as params_mod
 
 
 def run(P, reps: int = 2, mesh=None) -> dict:
+    from . import block, setup_cache
+
+    setup_cache()
     crs_key = sampling.PRGKey(bytes(range(40, 80)))
     ent_key = sampling.PRGKey(bytes(range(40)))
     off_setup = tssp.entropy_bytes_random_ssp(P)
@@ -43,11 +46,11 @@ def run(P, reps: int = 2, mesh=None) -> dict:
     stages = {}
 
     def timed(name, fn, *args):
-        jax.block_until_ready(fn(*args))  # compile + warm
+        block(fn(*args))  # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(*args))
+            out = block(fn(*args))
             ts.append(time.perf_counter() - t0)
         stages[name] = min(ts)
         print(f"{name}: {min(ts):.3f}s", file=sys.stderr)

@@ -228,7 +228,7 @@ def _kernel_v2(start_ref, rk_ref, const_ref, meta_ref, out_ref, *, tile_w: int):
     planes = jax.lax.fori_loop(1, 14, round_fn, planes, unroll=False)
     planes = _sbox_bits(planes)
     planes = _shift_rows_rm(planes)
-    planes = ark_final = [p ^ rk_ref[14, k] for k, p in enumerate(planes)]
+    planes = [p ^ rk_ref[14, k] for k, p in enumerate(planes)]
 
     # un-bitslice + in-kernel transpose: row w of the output holds the 128
     # LE words (4b + g) of its 32 blocks, so the caller only bitcasts.
