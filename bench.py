@@ -31,7 +31,10 @@ D_BENCH = 1 << 15  # release GAMMA_D (reference src/lwe.h:14)
 REPS = 5
 
 
-def ref_terms_per_sec() -> float:
+def ref_terms_per_sec() -> tuple[float, str]:
+    """(terms/s, source): source is "measured" when the native baseline
+    ran live on this host, "recorded" when the canned dev-host constant
+    had to be used (so JSON consumers can tell them apart)."""
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "native", "ref_baseline")
     exe = os.path.join(here, "eval_poly_ref")
@@ -46,11 +49,11 @@ def ref_terms_per_sec() -> float:
         out = subprocess.run(
             [exe, "4096"], check=True, capture_output=True, timeout=300,
         ).stdout.decode()
-        return float(out.strip().split("=")[1])
+        return float(out.strip().split("=")[1]), "measured"
     except Exception as e:  # noqa: BLE001 — baseline is best-effort
         print(f"[bench] native baseline unavailable ({e}); "
               f"using recorded {FALLBACK_REF_TERMS_PER_SEC}", file=sys.stderr)
-        return FALLBACK_REF_TERMS_PER_SEC
+        return FALLBACK_REF_TERMS_PER_SEC, "recorded"
 
 
 def main() -> None:
@@ -95,12 +98,13 @@ def main() -> None:
     print(f"[bench] reps: {[f'{x:.3f}' for x in times]} -> median {t:.3f}s; "
           f"keystream {ks_gbps:.2f} GB/s", file=sys.stderr)
 
-    ref = ref_terms_per_sec()
+    ref, ref_source = ref_terms_per_sec()
     print(json.dumps({
         "metric": "prover_eval_terms_per_sec",
         "value": round(tps, 1),
         "unit": "ciphertext-terms/s (d=2^15, n=1470, 4d terms/proof)",
         "vs_baseline": round(tps / ref, 3),
+        "baseline_source": ref_source,
     }))
 
 

@@ -314,6 +314,48 @@ def eval_poly_multi_acc(
     return acc
 
 
+def _fused_eval_ok(section_offset, d: int, params: Params, lane_w: int) -> bool:
+    """Static eligibility of the fused Pallas MAC kernel (ops/eval_fused)."""
+    return (
+        isinstance(section_offset, (int,)) and section_offset % 16 == 0
+        and params.n % 2 == 0
+        and d % (2 * lane_w) == 0
+        and d > 0
+    )
+
+
+def eval_poly_multi_fused(
+    key: sampling.PRGKey,
+    section_offset: int,
+    b_rows: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    params: Params,
+    *,
+    lane_w: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """eval_poly_multi on the fused keystream->MAC Pallas kernel.
+
+    Bit-identical to the scan path (tests/test_eval_fused.py); the
+    keystream never leaves VMEM, so throughput tracks the AES kernel's
+    instead of losing ~45% to HBM round-trips (ops/eval_fused.py).
+    """
+    from ..ops import eval_fused
+
+    k, d = coeffs.shape
+    n = params.n
+    acc_a = eval_fused.eval_mac_planes(
+        key, section_offset, coeffs, n, params.ctr_ct,
+        lane_w=lane_w, interpret=interpret,
+    )  # [4, k, n, 88]
+    cb = u32_to_bytes(coeffs)  # [k, d, 4]
+    acc_b = dg.u8_matmul(
+        cb.transpose(1, 0, 2).reshape(d, 4 * k).T, b_rows[:, :DIGITS]
+    ).reshape(k, 4, DIGITS).transpose(1, 0, 2)  # [4, k, 88]
+    planes = jnp.concatenate([acc_a, acc_b[:, :, None, :]], axis=2)
+    return dg.carry_fold(dg.combine_shift_planes(planes))
+
+
 def eval_poly_multi(
     key: sampling.PRGKey,
     section_offset,
@@ -322,6 +364,7 @@ def eval_poly_multi(
     params: Params,
     *,
     tile: int | None = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """k homomorphic polynomial evaluations sharing one keystream pass.
 
@@ -331,8 +374,18 @@ def eval_poly_multi(
 
     Reference semantics per vector == eval_poly (src/lwe.c:176-186); the
     k-way batching + tile-wise keystream regeneration (never holding the
-    expanded [d, n, 88] slab) is the TPU redesign.
+    expanded [d, n, 88] slab) is the TPU redesign.  ``impl``: "fused"
+    forces the single-kernel Pallas path, "scan" the two-stage path,
+    "auto" picks fused on TPU whenever the shape/offset allow it.
     """
+    if impl == "fused" or (
+        impl == "auto"
+        and sampling._default_backend() == "pallas"
+        and _fused_eval_ok(section_offset, coeffs.shape[1], params, 512)
+    ):
+        return eval_poly_multi_fused(
+            key, int(section_offset), b_rows, coeffs, params
+        )
     return dg.carry_fold(
         eval_poly_multi_acc(key, section_offset, b_rows, coeffs, params, tile=tile)
     )

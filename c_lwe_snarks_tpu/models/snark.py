@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import digits as dg
 from ..ops import modp, sampling
@@ -299,16 +300,50 @@ def prover(
 # --------------------------------------------------------------------------
 
 
+@functools.cache
+def _test_error_thresholds() -> tuple:
+    """Host constants p * 2^(64j) for j < 11 as uint8 digit rows [11, 88].
+
+    floor(x/p) >= 2^(64j) iff x >= p * 2^(64j); counting the satisfied
+    thresholds gives the exact GMP limb count of floor(x/p) for any
+    x < 2^704 (the quotient is < 2^672 = 10.5 limbs).
+    """
+    p = (1 << 32) - 5
+    rows = dg.ints_to_digit_matrix(
+        [(p << (64 * j)) % (1 << 704) for j in range(11)]
+    )
+    # p * 2^640 still fits 704 bits (no wrap); assert to be safe.
+    assert all((p << (64 * j)) < (1 << 704) for j in range(11))
+    return tuple(map(tuple, rows))
+
+
+def test_error_ok(
+    vrs: VRSDev, proof: ProofDev, params: Params
+) -> jnp.ndarray:
+    """The reference verifier's "test-error" bound (src/snark.c:237-241).
+
+    test = ceil(-(<b_w.a, sk> mod 2^704) / p) = -floor(dot / p); the
+    reference rejects when SIZ(test) >= GAMMA_LOG_SMUDGING/8 = 80 limbs.
+    GMP's SIZ is the *signed* limb count (negative here since test <= 0)
+    and |test| < 2^672 = 11 limbs, so the check always passes at these
+    parameters — computed literally anyway: the signed limb count of the
+    quotient is derived on device from 11 threshold comparisons.
+    """
+    dot = dg.bigint_dot(tlwe.ct_a(proof.b_w), vrs.sk)  # [88] mod 2^704
+    thr = jnp.asarray(np.asarray(_test_error_thresholds(), np.uint8))
+    qlimbs = jnp.sum(dg.digits_ge(dot[None, :], thr).astype(jnp.int32))
+    siz = -qlimbs  # SIZ of the (non-positive) mpz test value
+    return siz < jnp.int32(params.log_smudging // 8)
+
+
 def verifier(
     vrs: VRSDev, ssp: tssp.SSPDev, proof: ProofDev, params: Params
 ) -> jnp.ndarray:
     """Decrypt the proof, check the mod-p relations (src/snark.c:192-250).
 
-    Returns a bool scalar.  The reference's final "test-error" bound
-    compares a GMP limb count against 640/8 limbs = 5120 bits; every
-    mod-2^704 value passes, so the check is vacuous at these parameters
-    (kept in the oracle for literal parity; here it is the constant-true
-    branch and documented as such).
+    Returns a bool scalar.  All five checks run on device, including the
+    reference's "test-error" noise bound (vacuous at these parameters —
+    see test_error_ok — but computed for literal parity).
     """
     cts = proof.stack()  # [5, n+1, 88]
     dec = tlwe.decrypt(cts, vrs.sk, params)  # [5]
@@ -326,4 +361,5 @@ def verifier(
     )
     eq_div = lhs == jnp.uint32(0)
     eq_lin = modp.mulmod_p(w_s, vrs.beta) == b_s
-    return eq_pke1 & eq_pke2 & eq_div & eq_lin
+    eq_err = test_error_ok(vrs, proof, params)
+    return eq_pke1 & eq_pke2 & eq_div & eq_lin & eq_err

@@ -77,7 +77,7 @@ def eval_poly(
     b_rows = np.ascontiguousarray(b_rows, dtype=np.uint8)
     coeffs = np.ascontiguousarray(coeffs, dtype=np.uint32)
     d = b_rows.shape[0]
-    assert coeffs.shape == (d,) and b_rows.shape[1] == 92 and n <= 4096
+    assert coeffs.shape == (d,) and b_rows.shape[1] == 92
     out = np.zeros((n + 1) * 96, dtype=np.uint8)
     rc = lib.cls_eval_poly(
         key, nonce, section_offset,

@@ -253,6 +253,21 @@ def select_digits(pred: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndar
     return jnp.where(pred[..., None], x, y)
 
 
+def digits_ge(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a >= b as unsigned big-ints over LE digit rows (broadcasting).
+
+    The sign of a - b is the sign of the most-significant differing
+    digit; resolved with one cummax over the digit axis (no gathers).
+    """
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    k = d.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    # latest index where a's digit exceeds b's vs. where b's exceeds a's
+    gt_idx = jnp.max(jnp.where(d > 0, iota, -1), axis=-1)
+    lt_idx = jnp.max(jnp.where(d < 0, iota, -1), axis=-1)
+    return gt_idx >= lt_idx  # equal (both -1) counts as >=
+
+
 def scalar_mul_digits(a: jnp.ndarray, c_bytes: jnp.ndarray) -> jnp.ndarray:
     """(a * c) mod 2^704 for a 32-bit scalar c (ct_mul_ui, src/lwe.c:131).
 

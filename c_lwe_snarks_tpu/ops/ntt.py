@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -262,19 +263,62 @@ def poly_inv_series_mod_p(t: jnp.ndarray, out_len: int) -> jnp.ndarray:
     return s[..., :out_len]
 
 
-def poly_div_exact_mod_p(
-    num: jnp.ndarray, den: jnp.ndarray, quot_len: int
-) -> jnp.ndarray:
-    """Exact quotient num / den mod p via reversed power series.
+def poly_true_degree(x: jnp.ndarray) -> jnp.ndarray:
+    """Index of the highest nonzero coefficient (-1 for the zero poly)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.max(jnp.where(x != 0, iota, -1), axis=-1)
 
-    num: uint32 [..., ln] with formal degree ln-1; den: uint32 [..., ld]
-    with formal degree ld-1 — den's LAST entry must be nonzero (true with
-    probability 1 - 1/p for random_ssp instances; the reference uses the
-    data-dependent true degree, see DEVIATIONS.md).  quot_len static
-    (= ln - ld + 1 for the full quotient).
+
+def _div_rev_core(num: jnp.ndarray, den: jnp.ndarray, ql: int) -> jnp.ndarray:
+    """Reversed-series exact division; den's LAST formal entry nonzero.
+
+    Valid whenever num = den * q exactly with deg q < ql: the formal
+    reversal identity rev(num) = rev(den) * rev_ql(q) holds even when
+    num's top formal coefficients are zero.
     """
     nr = jnp.flip(num, axis=-1)
     dr = jnp.flip(den, axis=-1)
-    inv = poly_inv_series_mod_p(dr, quot_len)
-    qr = poly_mul_mod_p(nr[..., :quot_len], inv, out_len=quot_len)
+    inv = poly_inv_series_mod_p(dr, ql)
+    qr = poly_mul_mod_p(nr[..., :ql], inv, out_len=ql)
     return jnp.flip(qr, axis=-1)
+
+
+def _fit_len(q: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    if q.shape[-1] >= out_len:
+        return q[..., :out_len]
+    return jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, out_len - q.shape[-1])])
+
+
+def poly_div_exact_mod_p(
+    num: jnp.ndarray, den: jnp.ndarray, quot_len: int
+) -> jnp.ndarray:
+    """Exact quotient num / den mod p with FLINT true-degree semantics.
+
+    num: uint32 [ln]; den: uint32 [ld].  The reference divides by den's
+    data-dependent TRUE degree (FLINT nmod_poly_divrem at
+    src/snark.c:166-169), which for random_ssp instances is < ld-1 with
+    probability 1/p per instance.  When den's last formal coefficient is
+    zero, both operands are multiplied by x^(ld-1-dt) — an exact-
+    quotient-preserving shift — so the reversed series always inverts a
+    nonzero constant term.  Returns the LOW quot_len coefficients of the
+    true quotient (what eval_poly reads: coefficients 0..d-1 regardless
+    of deg h, src/lwe.c:176-186).  quot_len is static.
+    """
+    assert num.ndim == 1 and den.ndim == 1, "division is single-polynomial"
+    ln, ld = num.shape[-1], den.shape[-1]
+    shift = jnp.int32(ld - 1) - poly_true_degree(den)
+
+    def fast(_):
+        # common case (deg den == ld-1): quotient length ln - ld + 1
+        return _fit_len(_div_rev_core(num, den, max(ln - ld + 1, 1)), quot_len)
+
+    def general(_):
+        # num' = x^s num, den' = x^s den: den' has full formal degree.
+        # True quotient degree <= ln - 1 (see bound in _div_rev_core),
+        # so ql = ln covers it; rolls are pure shifts (the wrapped
+        # entries are zeros by construction of s).
+        num2 = jnp.roll(jnp.pad(num, (0, ld - 1)), shift)
+        den2 = jnp.roll(den, shift)
+        return _fit_len(_div_rev_core(num2, den2, ln), quot_len)
+
+    return jax.lax.cond(shift == 0, fast, general, None)

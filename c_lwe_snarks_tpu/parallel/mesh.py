@@ -15,9 +15,9 @@ Two sharded primitives cover the protocol's heavy sections:
   stream position.  ZERO collectives.
 * ``eval_poly_multi_sharded`` — the prover's hot loop
   (src/lwe.c:176-186) is an inner product over the degree axis: each
-  shard MACs its d/P-term slice into an int32 partial accumulator
-  (positions <= 255 + 2^23, see eval_poly_multi_acc) and ONE psum of
-  [k, n+1, 88] int32 (~1 MB) rides ICI per fused evaluation pair.
+  shard MACs its d/P-term slice, carry-folds the partial to normalized
+  digits, and ONE psum of [k, n+1, 88] int32 (~1 MB) rides ICI per
+  fused evaluation pair (post-psum positions <= 255 * nshards).
 
 Per-shard stream positions are computed host-side as exact python ints
 and shipped as a sharded uint32 [P, 3] array (skip, ctr_lo, ctr_hi) —
@@ -129,9 +129,11 @@ def eval_poly_multi_sharded(
     """k fused homomorphic evaluations, degree axis sharded over the mesh.
 
     Each shard MACs its slice of the d terms (regenerating only its
-    keystream slice), then one int32 psum + carry_fold yields the exact
+    keystream slice), carry-folds its partial to normalized digits
+    (positions <= 255), then one int32 psum + carry_fold yields the exact
     eval_poly result (src/lwe.c:176-186) replicated on every shard.
-    Safe for <= 2^7 shards: per-position partials are <= 255 + 2^23.
+    Normalizing before the psum bounds the reduced positions by
+    255 * nshards, so any realistic mesh size (< 2^23 shards) is safe.
     """
     axis, nshards = _mesh_axis(mesh)
     k, d = coeffs.shape
@@ -142,6 +144,10 @@ def eval_poly_multi_sharded(
     chunk = -(-chunk // 2) * 2
     if tile is not None:
         chunk = -(-chunk // tile) * tile
+    elif chunk > 256:
+        # eval_poly_multi_acc defaults to tile=256 and requires the chunk
+        # to divide evenly; mirror the explicit-tile branch.
+        chunk = -(-chunk // 256) * 256
     padded = chunk * nshards
     offs = _chunk_parts(section_offset, params.ctr_ct, chunk, nshards)
     # Padding coefficients with zeros adds exact zeros to the MAC (the
@@ -154,7 +160,13 @@ def eval_poly_multi_sharded(
         acc = tlwe.eval_poly_multi_acc(
             key, off, b_l, c_l, params, tile=tile, axis_name=axis
         )
-        return dg.carry_fold(jax.lax.psum(acc, axis))
+        # Normalize the shard partial to digits (<= 255 per position)
+        # before the reduction: mod-2^704 truncation is a ring hom, so
+        # summing normalized per-shard values mod 2^704 equals the total,
+        # and the psum'd positions stay < 256 * nshards — no int32
+        # overflow at any realistic shard count.
+        part = dg.carry_fold(acc).astype(jnp.int32)
+        return dg.carry_fold(jax.lax.psum(part, axis))
 
     return shard_map(
         shard_fn,

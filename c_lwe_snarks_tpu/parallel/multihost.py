@@ -24,6 +24,8 @@ bit-exactness-tested on an 8-device virtual mesh (tests/test_parallel.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
@@ -31,20 +33,46 @@ from jax.sharding import Mesh
 from . import mesh as pmesh
 
 
+def _distributed_client():
+    """The live jax distributed-service client, or None.
+
+    Read from jax's internal global state instead of jax.process_count():
+    any device/process API call initializes the XLA backend, after which
+    jax.distributed.initialize() unconditionally raises — probing with
+    process_count() would make multi-host startup impossible.
+    """
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client
+    except Exception:  # noqa: BLE001 — internal layout changed; assume none
+        return None
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """jax.distributed.initialize with env-var fallback.
+    """jax.distributed.initialize with env/metadata auto-detection.
 
-    On Cloud TPU pods the three arguments auto-detect from the metadata
-    server; pass them explicitly elsewhere.  Must run before any jax
-    device API.  No-op when already initialized or single-process.
+    Must run before ANY jax call that initializes the XLA backend
+    (jax.devices, jax.process_count, array ops...).  No-op when the
+    distributed service is already initialized, or when nothing indicates
+    a multi-process launch (no explicit args and no JAX_COORDINATOR_ADDRESS
+    / Cloud-TPU metadata environment).
     """
-    if jax.process_count() > 1:
+    if _distributed_client() is not None:
         return  # already initialized
-    if coordinator_address is None and num_processes in (None, 1):
+    explicit = coordinator_address is not None or (num_processes or 1) > 1
+    env_auto = any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS")
+    # single-entry TPU_WORKER_HOSTNAMES means a one-host slice: nothing
+    # to coordinate (and dev tunnels set it to "localhost")
+    ) or ("," in os.environ.get("TPU_WORKER_HOSTNAMES", ""))
+    if not explicit and not env_auto:
         return  # single-host run: nothing to do
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

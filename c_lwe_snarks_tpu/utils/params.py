@@ -128,5 +128,5 @@ def release() -> Params:
     return Params(d=1 << 15, m=21845)
 
 
-def custom(d: int, m: int) -> Params:
-    return Params(d=d, m=m)
+def custom(d: int, m: int, n: int = 1470) -> Params:
+    return Params(d=d, m=m, n=n)

@@ -20,6 +20,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 #include <string.h>
 
 /* ---- OpenSSL EVP (libcrypto.so.3) ---- */
@@ -47,9 +48,13 @@ mp_limb_t __gmpn_addmul_1(mp_limb_t *, const mp_limb_t *, long, mp_limb_t);
 int cls_keystream(const unsigned char key[32], uint64_t nonce,
                   uint64_t byte_offset, uint64_t nbytes,
                   unsigned char *out) {
+  int rc = 0;
   EVP_CIPHER_CTX *ctx = EVP_CIPHER_CTX_new();
   if (!ctx) return -1;
-  if (EVP_EncryptInit_ex(ctx, EVP_aes_256_ecb(), 0, key, 0) != 1) return -2;
+  if (EVP_EncryptInit_ex(ctx, EVP_aes_256_ecb(), 0, key, 0) != 1) {
+    rc = -2;
+    goto cleanup;
+  }
   EVP_CIPHER_CTX_set_padding(ctx, 0);
 
   enum { CHUNK = 4096 }; /* blocks per batch */
@@ -67,7 +72,11 @@ int cls_keystream(const unsigned char key[32], uint64_t nonce,
       memcpy(in + 16 * b + 8, &c, 8);
     }
     int outl = 0;
-    EVP_EncryptUpdate(ctx, enc, &outl, in, (int)(16 * blocks));
+    if (EVP_EncryptUpdate(ctx, enc, &outl, in, (int)(16 * blocks)) != 1 ||
+        outl != (int)(16 * blocks)) {
+      rc = -3;
+      goto cleanup;
+    }
     uint64_t take = 16 * blocks - skip;
     if (take > remaining) take = remaining;
     memcpy(out, enc + skip, take);
@@ -76,8 +85,9 @@ int cls_keystream(const unsigned char key[32], uint64_t nonce,
     ctr += blocks;
     skip = 0;
   }
+cleanup:
   EVP_CIPHER_CTX_free(ctx);
-  return 0;
+  return rc;
 }
 
 /* rop[(n+1) x LIVE_LIMBS] += ct * c mod 2^704, where ct's a-vector is
@@ -100,21 +110,24 @@ static void ct_addmul(mp_limb_t *rop, const unsigned char *ks,
  * re-expanded from the stream at section_offset.  `out` must hold
  * (n+1) * 12 * 8 bytes; coordinate j's 88 live digits are bytes
  * [96j, 96j+88) (limb 11 is always zero).  x86-64 little-endian assumed.
- * Scratch keystream is internal (single-threaded). */
+ * Keystream scratch is heap-allocated per call (thread-safe). */
 int cls_eval_poly(const unsigned char key[32], uint64_t nonce,
                   uint64_t section_offset, const unsigned char *b_rows,
                   size_t b_stride, const uint32_t *coeffs, int d, int n,
                   unsigned char *out) {
   size_t ct_ct = (size_t)CT_BYTES * n;
-  static unsigned char ks[92 * 4096]; /* supports n <= 4096 */
-  if (n > 4096) return -1;
+  unsigned char *ks = malloc(ct_ct);
+  if (!ks) return -1;
   mp_limb_t *rop = (mp_limb_t *)out; /* caller provides (n+1)*LIMBS*8 B */
   memset(rop, 0, (size_t)(n + 1) * LIMBS * 8);
   for (int i = 0; i < d; i++) {
     if (cls_keystream(key, nonce, section_offset + (uint64_t)i * ct_ct,
-                      ct_ct, ks) != 0)
+                      ct_ct, ks) != 0) {
+      free(ks);
       return -2;
+    }
     ct_addmul(rop, ks, b_rows + (size_t)i * b_stride, coeffs[i], n);
   }
+  free(ks);
   return 0;
 }

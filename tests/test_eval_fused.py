@@ -1,0 +1,68 @@
+"""Fused keystream->MAC kernel vs the two-stage scan path (bit-exact).
+
+The fused Pallas kernel (ops/eval_fused.py) re-derives the per-block
+counters column-major over ciphertext pairs; any error in that index
+arithmetic, the even/odd coefficient select, or the recentred-matmul
+corrections breaks digit exactness somewhere in [k, n+1, 88].  The scan
+path is already conformance-tested against the host oracle
+(tests/test_lwe_tpu.py), so equality here closes the chain.
+
+Runs in Pallas interpret mode on CPU with lane_w=128 (d multiple of 256).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c_lwe_snarks_tpu.models import lwe as tlwe
+from c_lwe_snarks_tpu.ops import eval_fused, sampling
+from c_lwe_snarks_tpu.utils import params as params_mod
+
+
+def _fused(key, off, b_rows, coeffs, P, lane_w=128):
+    acc_a = eval_fused.eval_mac_planes(
+        key, off, coeffs, P.n, P.ctr_ct, lane_w=lane_w, interpret=True
+    )
+    k, d = coeffs.shape
+    cb = tlwe.u32_to_bytes(coeffs)
+    from c_lwe_snarks_tpu.ops import digits as dg
+
+    acc_b = dg.u8_matmul(
+        cb.transpose(1, 0, 2).reshape(d, 4 * k).T, b_rows[:, : dg.DIGITS]
+    ).reshape(k, 4, dg.DIGITS).transpose(1, 0, 2)
+    planes = jnp.concatenate([acc_a, acc_b[:, :, None, :]], axis=2)
+    return dg.carry_fold(dg.combine_shift_planes(planes))
+
+
+@pytest.mark.parametrize("offset_blocks", [0, 2])
+@pytest.mark.parametrize("k", [1, 2])
+def test_fused_matches_scan(offset_blocks, k):
+    P = params_mod.custom(d=256, m=8, n=6)
+    key = sampling.PRGKey(bytes(range(40)))
+    rng = np.random.default_rng(7 + k)
+    d = P.d
+    b_rows = jnp.asarray(rng.integers(0, 256, size=(d, 88), dtype=np.uint8))
+    coeffs = jnp.asarray(rng.integers(0, P.p, size=(k, d), dtype=np.uint32))
+    off = 16 * offset_blocks
+
+    want = jax.jit(
+        lambda b, c: tlwe.eval_poly_multi(key, off, b, c, P, impl="scan")
+    )(b_rows, coeffs)
+    got = _fused(key, off, b_rows, coeffs, P)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_multi_row_chunks():
+    """R > 1 row chunks exercise the grid accumulation (r > 0 adds)."""
+    P = params_mod.custom(d=512, m=8, n=4)
+    key = sampling.PRGKey(bytes(range(1, 41)))
+    rng = np.random.default_rng(3)
+    b_rows = jnp.asarray(rng.integers(0, 256, size=(P.d, 88), dtype=np.uint8))
+    coeffs = jnp.asarray(rng.integers(0, P.p, size=(2, P.d), dtype=np.uint32))
+
+    want = jax.jit(
+        lambda b, c: tlwe.eval_poly_multi(key, 0, b, c, P, impl="scan")
+    )(b_rows, coeffs)
+    got = _fused(key, 0, b_rows, coeffs, P)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

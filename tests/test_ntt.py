@@ -161,3 +161,53 @@ def test_poly_div_ssp_shape():
     want = opoly.poly_div(num_int, t_int)
     want = want + [0] * (d - len(want))
     assert [int(x) for x in got] == want
+
+
+def test_poly_div_true_degree_degenerate():
+    """deg(t) < d-1 (top coefficient zero): FLINT true-degree semantics.
+
+    The reference divides by the data-dependent true degree
+    (src/snark.c:166-169); a random_ssp instance hits this with
+    probability 1/p, so it is constructed here.
+    """
+    d = 32
+    t = rmodp(d)
+    t[-1] = 0
+    t[-2] = 0
+    t[-3] = max(1, t[-3])  # true degree d-3
+    t_int = [int(x) for x in t]
+    v_int = opoly.poly_add(t_int, [1])  # v = t + 1 => v^2 - 1 = t(t + 2)
+    num_int = opoly.poly_sub(opoly.poly_mul(v_int, v_int), [1])
+    num = np.zeros(2 * d - 1, np.uint32)
+    num[: len(num_int)] = num_int
+    got = np.asarray(
+        jax.jit(lambda n, dd: ntt.poly_div_exact_mod_p(n, dd, d))(
+            jnp.asarray(num), jnp.asarray(t)
+        )
+    )
+    want = opoly.poly_div(num_int, t_int)
+    want = (want + [0] * d)[:d]
+    assert [int(x) for x in got] == want
+
+
+def test_poly_div_true_degree_quotient_overflows_d():
+    """deg(t) = d-2 with deg(num) = 2d-2: true quotient has degree d,
+    one past the d coefficient slots eval_poly reads — the returned
+    window must be the LOW d coefficients (reference drops the top)."""
+    d = 16
+    t = rmodp(d)
+    t[-1] = 0
+    t[-2] = max(1, t[-2])  # true degree d-2
+    q_true = rmodp(d + 1)  # degree d > d-1
+    q_true[-1] = max(1, q_true[-1])
+    t_int = [int(x) for x in t]
+    q_int = [int(x) for x in q_true]
+    num_int = opoly.poly_mul(t_int, q_int)  # degree 2d-2
+    num = np.zeros(2 * d - 1, np.uint32)
+    num[: len(num_int)] = num_int
+    got = np.asarray(
+        jax.jit(lambda n, dd: ntt.poly_div_exact_mod_p(n, dd, d))(
+            jnp.asarray(num), jnp.asarray(t)
+        )
+    )
+    assert [int(x) for x in got] == q_int[:d]
