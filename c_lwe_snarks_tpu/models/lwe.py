@@ -386,8 +386,21 @@ def eval_poly_multi(
         return eval_poly_multi_fused(
             key, int(section_offset), b_rows, coeffs, params
         )
+    # Arbitrary degree counts (FLINT takes any d): zero-pad to the tile
+    # grid.  Padded terms multiply their (past-section) keystream rows by
+    # zero coefficients — exact zeros in the MAC, bit-identical result.
+    d = coeffs.shape[1]
+    tile_eff = tile if tile is not None else min(d + (d & 1), 256)
+    while (tile_eff * params.ctr_ct) % 16:
+        tile_eff *= 2  # even tiles align for even n; x4 covers odd n
+    extra = -d % tile_eff
+    if extra:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, extra)))
+        b_rows = jnp.pad(b_rows[:, :DIGITS], ((0, extra), (0, 0)))
     return dg.carry_fold(
-        eval_poly_multi_acc(key, section_offset, b_rows, coeffs, params, tile=tile)
+        eval_poly_multi_acc(
+            key, section_offset, b_rows, coeffs, params, tile=tile_eff
+        )
     )
 
 

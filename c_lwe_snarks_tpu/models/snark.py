@@ -173,7 +173,12 @@ def setup(
     msgs_as = modp.mulmod_p(alpha, powers)
     # beta * t(s), beta * v_i(s): batched dot with the powers vector
     t_s = modp.sum_mod_p(modp.mulmod_p(ssp.t, powers))
-    v_s = modp.sum_mod_p(modp.mulmod_p(ssp.v, powers[None, :]), axis=-1)  # [m]
+    if mesh is not None:
+        from ..parallel import mesh as pmesh2
+
+        v_s = pmesh2.v_at_s_sharded(ssp.v, powers, mesh)  # [m], row-sharded
+    else:
+        v_s = modp.sum_mod_p(modp.mulmod_p(ssp.v, powers[None, :]), axis=-1)
     msg_t = modp.mulmod_p(beta, t_s)[None]
     msgs_v = modp.mulmod_p(beta, v_s[1:])  # i in [1, m)
 

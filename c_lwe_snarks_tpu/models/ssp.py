@@ -53,6 +53,40 @@ def witness_bits(w_bytes: jnp.ndarray, m: int) -> jnp.ndarray:
     return (w_bytes[k // 8] >> (k % 8).astype(jnp.uint8)) & 1
 
 
+def gen_v_scan(
+    key: sampling.PRGKey, ctr0, mask: jnp.ndarray, d: int, tile: int,
+    axis_name: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Generate ``rows`` v-polynomials from block counter ``ctr0``.
+
+    mask: uint8 [rows] (rows % tile == 0) t-gate per row.  Returns
+    (v uint32 [rows, d], masked mod-p column sum uint32 [d]).  Shared by
+    the single-chip scan and the per-shard body of
+    parallel/mesh.random_ssp_sharded (each shard's counter is pure
+    arithmetic because a polynomial row is exactly 8d stream bytes);
+    sharded callers pass ``axis_name`` so the scan carry starts
+    device-varying.
+    """
+    rows = mask.shape[0]
+    assert rows % tile == 0, (rows, tile)
+    blocks_per_tile = tile * 8 * d // 16
+
+    def step(carry, mask_t):
+        ctr, t_acc = carry
+        words = sampling.keystream_words(key, ctr, blocks_per_tile)
+        w = words.reshape(tile, d, 2)
+        vi = modp.fold64_mod_p(w[..., 1], w[..., 0])  # [tile, d]
+        sel = jnp.where(mask_t[:, None].astype(bool), vi, jnp.zeros_like(vi))
+        t_acc = modp.addmod_p(t_acc, modp.sum_mod_p(sel, axis=0))
+        return (sampling.advance_ctr(*ctr, blocks_per_tile), t_acc), vi
+
+    t0 = jnp.zeros((d,), jnp.uint32)
+    if axis_name is not None:
+        t0 = jax.lax.pcast(t0, axis_name, to="varying")
+    (_, t), v = jax.lax.scan(step, (ctr0, t0), mask.reshape(-1, tile))
+    return v.reshape(rows, d), t
+
+
 def random_ssp(
     key: sampling.PRGKey, byte_offset: int, params: Params, *, tile: int = 256
 ) -> tuple[jnp.ndarray, SSPDev]:
@@ -71,28 +105,14 @@ def random_ssp(
     wits = witness_bits(sampling.keystream_bytes(key, byte_offset, wb), m)
 
     tile = min(tile, m)
-    mtiles = -(-m // tile)
-    m_pad = mtiles * tile
-    blocks_per_tile = tile * 8 * d // 16
+    m_pad = -(-m // tile) * tile
     _, ctr0 = sampling.split_offset(byte_offset + wb + pad)
     # t-mask: v_0 always, v_i gated by witness bit i-1; padding rows off.
     mask = jnp.concatenate(
         [jnp.ones((1,), jnp.uint8), wits[: m - 1],
          jnp.zeros((m_pad - m,), jnp.uint8)]
-    ).reshape(mtiles, tile)
-
-    def step(carry, mask_t):
-        ctr, t_acc = carry
-        words = sampling.keystream_words(key, ctr, blocks_per_tile)
-        w = words.reshape(tile, d, 2)
-        vi = modp.fold64_mod_p(w[..., 1], w[..., 0])  # [tile, d]
-        sel = jnp.where(mask_t[:, None].astype(bool), vi, jnp.zeros_like(vi))
-        t_acc = modp.addmod_p(t_acc, modp.sum_mod_p(sel, axis=0))
-        return (sampling.advance_ctr(*ctr, blocks_per_tile), t_acc), vi
-
-    (_, t), v = jax.lax.scan(
-        step, (ctr0, jnp.zeros((d,), jnp.uint32)), mask
     )
-    v = v.reshape(m_pad, d)[:m]
+    v, t = gen_v_scan(key, ctr0, mask, d, tile)
+    v = v[:m]
     t = t.at[0].set(modp.submod_p(t[0], jnp.uint32(1)))
     return wits, SSPDev(t=t, v=v)

@@ -35,8 +35,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models import lwe as tlwe
+from ..models import ssp as tssp
 from ..ops import digits as dg
-from ..ops import sampling
+from ..ops import modp, sampling
 from ..utils.params import Params
 
 AXIS = "shard"
@@ -174,6 +175,88 @@ def eval_poly_multi_sharded(
         in_specs=(P(axis), P(axis), P(None, axis)),
         out_specs=P(),
     )(jnp.asarray(offs), b_p, coeffs_p)
+
+
+def random_ssp_sharded(
+    key: sampling.PRGKey,
+    byte_offset: int,
+    params: Params,
+    mesh: Mesh,
+    *,
+    tile: int = 256,
+) -> tuple[jnp.ndarray, tssp.SSPDev]:
+    """random_ssp (src/ssp.c:37-77) with the m polynomial rows sharded.
+
+    Each shard regenerates its own slice of the entropy stream (a row is
+    exactly 8d bytes, block-aligned for even d, so per-shard positions are
+    pure counter arithmetic) and computes a masked partial column-sum for
+    t; two uint32 psums of 16-bit halves (exact to 2^16 shards) + one
+    mod-p fold make t exact and replicated.  v comes back sharded over m;
+    t matches the single-chip scan bit-for-bit (tests/test_parallel.py).
+    """
+    axis, nshards = _mesh_axis(mesh)
+    m, d = params.m, params.d
+    assert (8 * d) % 16 == 0, "polynomial rows must be AES-block aligned"
+    assert byte_offset % 16 == 0, "random_ssp section must be block-aligned"
+    wb, pad = tssp.witness_pad_bytes(params)
+    wits = tssp.witness_bits(sampling.keystream_bytes(key, byte_offset, wb), m)
+
+    chunk = -(-m // nshards)
+    tile_s = min(tile, chunk)
+    chunk = -(-chunk // tile_s) * tile_s
+    m_pad = chunk * nshards
+    offs = _chunk_parts(byte_offset + wb + pad, 8 * d, chunk, nshards)
+    # t-mask: v_0 always, v_i gated by witness bit i-1; padding rows off.
+    mask = jnp.concatenate(
+        [jnp.ones((1,), jnp.uint8), wits[: m - 1],
+         jnp.zeros((m_pad - m,), jnp.uint8)]
+    )
+
+    def shard_fn(offs_l, mask_l):
+        _, ctr0 = sampling.parts_to_offset(offs_l[0])  # skip == 0 (aligned)
+        v_l, t_l = tssp.gen_v_scan(key, ctr0, mask_l, d, tile_s, axis_name=axis)
+        # Partials are already reduced mod p but a plain uint32 psum could
+        # wrap; psum 16-bit halves (exact for <= 2^16 shards) and fold the
+        # 48-bit totals back mod p.
+        lo = jax.lax.psum(t_l & jnp.uint32(0xFFFF), axis)
+        hi = jax.lax.psum(t_l >> 16, axis)
+        add = hi << 16
+        s = add + lo
+        top = (hi >> 16) + (s < add).astype(jnp.uint32)
+        return v_l, modp.fold64_mod_p(top, s)
+
+    v, t = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )(jnp.asarray(offs), mask)
+    v = v[:m]
+    t = t.at[0].set(modp.submod_p(t[0], jnp.uint32(1)))
+    return wits, tssp.SSPDev(t=t, v=v)
+
+
+def v_at_s_sharded(
+    v: jnp.ndarray, powers: jnp.ndarray, mesh: Mesh
+) -> jnp.ndarray:
+    """v_i(s) for all m polynomials, row axis sharded over the mesh.
+
+    Setup's message schedule (src/snark.c:103-110) evaluates every v_i at
+    the trapdoor point s; with the powers vector replicated the [m, d]
+    mod-p matvec is embarrassingly parallel over rows — zero collectives.
+    """
+    axis, nshards = _mesh_axis(mesh)
+    m = v.shape[0]
+    chunk = -(-m // nshards)
+    v_p = _pad_to(v, chunk * nshards)
+
+    def shard_fn(v_l, pw):
+        return modp.sum_mod_p(modp.mulmod_p(v_l, pw[None, :]), axis=-1)
+
+    out = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis)
+    )(v_p, powers)
+    return out[:m]
 
 
 def eval_poly_sharded(

@@ -134,6 +134,104 @@ def ssp_from_buffer(buf: bytes, params: Params) -> tssp.SSPDev:
 
 
 # --------------------------------------------------------------------------
+# Streaming / mmap IO — release-scale files without whole-blob staging.
+#
+# The release SSP buffer is 8 * 2^15 * 21846 = 5.33 GiB and the uint32
+# device form another 2.67 GiB; `ssp_to_buffer` + `save` would hold both
+# at once.  The reference side-steps this with mmap (benchmark_eval.c:
+# 44-66 maps the ciphertext file read-only); these writers/readers stream
+# fixed-size row chunks instead, so peak extra memory is one chunk.
+# --------------------------------------------------------------------------
+
+
+def ssp_write_stream(
+    path: str, ssp: tssp.SSPDev, params: Params, *, rows_per_chunk: int = 256
+) -> None:
+    """Write the reference flat SSP layout (src/ssp.h:6-9) chunk-wise.
+
+    Byte-identical to ``save(path, ssp_to_buffer(...))``; each chunk pulls
+    rows_per_chunk polynomial rows off the device, widens to uint64-LE,
+    writes, and drops them.
+    """
+    with open(path, "wb") as f:
+        f.write(np.asarray(ssp.t, dtype=np.uint64).tobytes())
+        m = int(ssp.v.shape[0])
+        for lo in range(0, m, rows_per_chunk):
+            rows = np.asarray(ssp.v[lo : lo + rows_per_chunk], dtype=np.uint64)
+            f.write(rows.tobytes())
+
+
+def ssp_read_stream(
+    path: str, params: Params, *, rows_per_chunk: int = 256
+) -> tssp.SSPDev:
+    """Load an SSP buffer via np.memmap: no whole-file byte copy.
+
+    The uint64 file words are validated (< p) and narrowed to the uint32
+    device form chunk-wise off the mapping; peak host memory is the
+    uint32 array plus one chunk.
+    """
+    d, m = params.d, params.m
+    words = np.memmap(path, dtype="<u8", mode="r", shape=(m + 1, d))
+    v = np.empty((m, d), dtype=np.uint32)
+    t = None
+    for lo in range(0, m + 1, rows_per_chunk):
+        chunk = np.asarray(words[lo : lo + rows_per_chunk])
+        assert (chunk < params.p).all(), "coefficients must be reduced mod p"
+        narrow = chunk.astype(np.uint32)
+        if lo == 0:
+            t, narrow = narrow[0], narrow[1:]
+            v[:narrow.shape[0]] = narrow
+        else:
+            v[lo - 1 : lo - 1 + narrow.shape[0]] = narrow
+    return tssp.SSPDev(t=jnp.asarray(t), v=jnp.asarray(v))
+
+
+def crs_write_stream(
+    path: str, crs: tsnark.CRSDev, params: Params, *, rows_per_chunk: int = 4096
+) -> None:
+    """Write the CRS file (seed || 92-byte row table) chunk-wise."""
+    with open(path, "wb") as f:
+        f.write(bytes(crs.seed))
+        for rows in (crs.b_s, crs.b_as, crs.b_t[None], crs.b_v):
+            n = int(rows.shape[0])
+            for lo in range(0, n, rows_per_chunk):
+                f.write(_rows92(rows[lo : lo + rows_per_chunk], params).tobytes())
+
+
+def crs_row_table(path: str, params: Params) -> tuple[bytes, np.ndarray]:
+    """(seed, read-only memmap [crs_num_cts, 92]) over a CRS file.
+
+    The row table's section layout matches crs_from_bytes: rows [0, d) are
+    b_s, [d, 2d) b_as, row 2d is b_t, [2d+1, ...) b_v.  Slicing the
+    mapping reads only the touched pages — the host-sliced load path for
+    multi-host runs (parallel/multihost.local_shard_bounds picks each
+    host's row range).
+    """
+    with open(path, "rb") as f:
+        seed = f.read(40)
+    rows = np.memmap(
+        path, dtype=np.uint8, mode="r", offset=40,
+        shape=(params.crs_num_cts, params.ct_bytes),
+    )
+    return seed, rows
+
+
+def crs_local_slice(
+    path: str, params: Params
+) -> tuple[bytes, int, np.ndarray]:
+    """(seed, row_start, rows[start:end, :88]) — this host's CRS rows.
+
+    Chunking rule == parallel/multihost.local_shard_bounds over the full
+    2d+1+(m-1) row table; each host touches only its own pages.
+    """
+    from ..parallel import multihost
+
+    seed, table = crs_row_table(path, params)
+    lo, hi = multihost.local_shard_bounds(params.crs_num_cts)
+    return seed, lo, np.asarray(table[lo:hi, :88])
+
+
+# --------------------------------------------------------------------------
 # File helpers
 # --------------------------------------------------------------------------
 

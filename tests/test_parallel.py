@@ -75,13 +75,46 @@ def test_eval_poly_multi_sharded_matches(mesh8, keys):
     np.testing.assert_array_equal(np.asarray(shd), np.asarray(ref))
 
 
+def test_random_ssp_sharded_matches(mesh8, keys):
+    _, ent_key = keys
+    # even split (m=8) and ragged rows-per-shard (m=24 -> chunk 3, and the
+    # b-side consumers see m-1=23); d stays even for block alignment.
+    for m in (8, 24):
+        Pm = params_mod.Params(d=16, m=m, n=32)
+        wits_r, inst_r = jax.jit(lambda: tssp.random_ssp(ent_key, 0, Pm))()
+        wits_s, inst_s = jax.jit(
+            lambda: pmesh.random_ssp_sharded(ent_key, 0, Pm, mesh8)
+        )()
+        np.testing.assert_array_equal(np.asarray(wits_s), np.asarray(wits_r))
+        np.testing.assert_array_equal(np.asarray(inst_s.t), np.asarray(inst_r.t))
+        np.testing.assert_array_equal(np.asarray(inst_s.v), np.asarray(inst_r.v))
+
+
+def test_v_at_s_sharded_matches(mesh8):
+    from c_lwe_snarks_tpu.ops import modp
+
+    rng = np.random.default_rng(2)
+    for m in (8, 13):  # even and ragged row counts
+        v = jnp.asarray(rng.integers(0, P.p, size=(m, P.d), dtype=np.uint32))
+        s = jnp.uint32(0x12345678)
+        powers = modp.powers_mod_p(s, P.d)
+        ref = jax.jit(
+            lambda v, pw: modp.sum_mod_p(modp.mulmod_p(v, pw[None, :]), axis=-1)
+        )(v, powers)
+        shd = jax.jit(lambda v, pw: pmesh.v_at_s_sharded(v, pw, mesh8))(v, powers)
+        np.testing.assert_array_equal(np.asarray(shd), np.asarray(ref))
+
+
 def test_full_pipeline_sharded_matches(mesh8, keys):
     crs_key, ent_key = keys
     off_setup = tssp.entropy_bytes_random_ssp(P)
     off_prove = off_setup + tsnark.setup_entropy_bytes(P)
 
     def run(mesh):
-        wits, inst = tssp.random_ssp(ent_key, 0, P)
+        if mesh is None:
+            wits, inst = tssp.random_ssp(ent_key, 0, P)
+        else:
+            wits, inst = pmesh.random_ssp_sharded(ent_key, 0, P, mesh)
         crs, vrs = tsnark.setup(crs_key, ent_key, off_setup, inst, P, mesh=mesh)
         pi = tsnark.prover(
             crs_key, ent_key, off_prove, crs, inst, wits, P, mesh=mesh

@@ -89,3 +89,41 @@ def test_decrypt_probes(protocol_run):
     assert all(bool(v) for v in checks.values()), checks
     pchecks = obs.probe_proof(pi, vrs, P)
     assert bool(pchecks["pke_h"])
+
+
+def test_ssp_stream_matches_blob(protocol_run, tmp_path):
+    """ssp_write_stream/ssp_read_stream == the whole-blob formats."""
+    _, inst, _, _, _ = protocol_run
+    path = str(tmp_path / "ssp.bin")
+    serial.ssp_write_stream(path, inst, P, rows_per_chunk=5)  # ragged chunks
+    assert serial.load(path) == serial.ssp_to_buffer(inst, P)
+    inst2 = serial.ssp_read_stream(path, P, rows_per_chunk=3)
+    np.testing.assert_array_equal(np.asarray(inst2.t), np.asarray(inst.t))
+    np.testing.assert_array_equal(np.asarray(inst2.v), np.asarray(inst.v))
+
+
+def test_crs_stream_matches_blob(protocol_run, tmp_path):
+    """crs_write_stream == crs_to_bytes; row table slices correctly."""
+    _, _, crs, _, _ = protocol_run
+    path = str(tmp_path / "crs.bin")
+    serial.crs_write_stream(path, crs, P, rows_per_chunk=7)
+    blob = serial.crs_to_bytes(crs, P)
+    assert serial.load(path) == blob
+
+    seed, table = serial.crs_row_table(path, P)
+    assert seed == bytes(crs.seed)
+    assert table.shape == (P.crs_num_cts, P.ct_bytes)
+    np.testing.assert_array_equal(
+        np.asarray(table[: P.d, :88]), np.asarray(crs.b_s)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(table[2 * P.d, :88]), np.asarray(crs.b_t)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(table[2 * P.d + 1 :, :88]), np.asarray(crs.b_v)
+    )
+
+    # single-process local slice covers the whole table from row 0
+    seed2, lo, rows = serial.crs_local_slice(path, P)
+    assert seed2 == seed and lo == 0
+    assert rows.shape == (P.crs_num_cts, 88)
