@@ -61,6 +61,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from benchmarks import setup_cache
+
+    setup_cache()  # release kernels take minutes to compile; reuse across runs
+
     from c_lwe_snarks_tpu.models import lwe as tlwe
     from c_lwe_snarks_tpu.ops import sampling
     from c_lwe_snarks_tpu.utils import params as params_mod
