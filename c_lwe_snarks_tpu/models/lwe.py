@@ -148,6 +148,48 @@ def encrypt(
     return jnp.concatenate([a, b[:, None, :]], axis=1)
 
 
+def _fused_encrypt_ok(section_offset, count: int, params: Params) -> bool:
+    """Static eligibility of the fused keystream->encrypt Pallas kernel."""
+    return (
+        isinstance(section_offset, int)
+        and section_offset % 8 == 0
+        and params.n % 2 == 0
+        and count >= 512  # below this the scan path amortizes better
+    )
+
+
+def encrypt_section_fused(
+    key: sampling.PRGKey,
+    section_offset: int,
+    sk: jnp.ndarray,
+    msgs: jnp.ndarray,
+    errs: jnp.ndarray,
+    params: Params,
+    *,
+    lane_w: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """encrypt_section on the fused keystream->encrypt Pallas kernel.
+
+    Bit-identical to the scan path (tests/test_eval_fused.py); the
+    a-slab keystream never leaves VMEM (ops/eval_fused.py:_enc_kernel).
+    """
+    from ..ops import eval_fused
+
+    dot = eval_fused.encrypt_b_fused(
+        key, int(section_offset), sk, msgs.shape[0], params.n, params.ctr_ct,
+        lane_w=lane_w, interpret=interpret,
+    )  # int32 [B, 88] planes of <sk, a>
+    pe_planes = errs.astype(jnp.int32)[None] * jnp.asarray(
+        [params.p & 0xFF, (params.p >> 8) & 0xFF,
+         (params.p >> 16) & 0xFF, params.p >> 24],
+        jnp.int32,
+    ).reshape(4, 1, 1)
+    pe = dg.combine_shift_planes(pe_planes)  # [B, 88] < 2^26
+    m = u32_to_digits(msgs).astype(jnp.int32)  # [B, 88]
+    return dg.carry_fold(dot + pe + m)
+
+
 def encrypt_section(
     key: sampling.PRGKey,
     section_offset: int,
@@ -157,14 +199,25 @@ def encrypt_section(
     params: Params,
     *,
     tile: int | None = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Compressed b-rows [B, 88] for B sequential encryptions.
 
-    The a-slabs are regenerated per tile inside a lax.scan and never
-    materialized in full — the setup loop (src/snark.c:75-110) without
-    the reference's sequential mpz walk.
+    The a-slabs are regenerated per tile and never materialized in full —
+    the setup loop (src/snark.c:75-110) without the reference's
+    sequential mpz walk.  ``impl``: "fused" forces the single-kernel
+    Pallas path (ops/eval_fused.py:_enc_kernel), "scan" the two-stage
+    lax.scan path, "auto" picks fused on TPU whenever shape/offset allow.
     """
     total = msgs.shape[0]
+    if impl == "fused" or (
+        impl == "auto"
+        and sampling._default_backend() == "pallas"
+        and _fused_encrypt_ok(section_offset, total, params)
+    ):
+        return encrypt_section_fused(
+            key, int(section_offset), sk, msgs, errs, params
+        )
     if tile is None:
         tile = min(total, 256)
     if total <= 2 or tile % 2:
@@ -180,7 +233,8 @@ def encrypt_section(
         pad = [(0, extra)] + [(0, 0)] * (errs.ndim - 1)
         out = encrypt_section(
             key, section_offset, sk,
-            jnp.pad(msgs, (0, extra)), jnp.pad(errs, pad), params, tile=tile,
+            jnp.pad(msgs, (0, extra)), jnp.pad(errs, pad), params,
+            tile=tile, impl="scan",
         )
         return out[:total]
     ntiles = total // tile
@@ -317,7 +371,7 @@ def eval_poly_multi_acc(
 def _fused_eval_ok(section_offset, d: int, params: Params, lane_w: int) -> bool:
     """Static eligibility of the fused Pallas MAC kernel (ops/eval_fused)."""
     return (
-        isinstance(section_offset, (int,)) and section_offset % 16 == 0
+        isinstance(section_offset, (int,)) and section_offset % 8 == 0
         and params.n % 2 == 0
         and d % (2 * lane_w) == 0
         and d > 0

@@ -254,9 +254,14 @@ def prover(
     # b_w = delta * ct(beta t) + sum_{witness} ct(beta v_i):
     # the masked sum is a homomorphic evaluation with 0/1 coefficients.
     ct_bt = tlwe.ct_import(crs_key, params.ctr_bt, crs.b_t[None], params)[0]
-    # pad so the default eval tiling divides the padded degree: to a full
-    # tile when m-1 exceeds one, else to even (one tile of the whole set)
-    bw_mult = (tile or 256) if (m - 1) >= (tile or 256) else 2
+    # pad so the default eval tiling divides the padded degree: to the
+    # fused kernel's 2*lane_w grid when the section is large (CTR_BV's
+    # half-block offset rides the kernel's lead-prefix path), else a full
+    # scan tile, else even (one tile of the whole set)
+    if tile is None and (m - 1) >= 1024:
+        bw_mult = 1024
+    else:
+        bw_mult = (tile or 256) if (m - 1) >= (tile or 256) else 2
     bw_coeffs = _pad_multiple(witness[: m - 1].astype(jnp.uint32), bw_mult)
     bw_rows = _pad_multiple(tlwe.pad_digits(crs.b_v), bw_mult)
     b_w = tlwe.ct_add(

@@ -51,17 +51,20 @@ def _shift_rows_rm(planes):
 
 
 def _mix_columns_rm(planes):
-    a = [[p.reshape(4, 4, p.shape[-1])[r] for p in planes] for r in range(4)]
-    t = [a[0][k] ^ a[1][k] ^ a[2][k] ^ a[3][k] for k in range(8)]
-    new = []
-    for r in range(4):
-        u = [a[r][k] ^ a[(r + 1) % 4][k] for k in range(8)]
-        xt = _xtime_bits(u)
-        new.append([a[r][k] ^ t[k] ^ xt[k] for k in range(8)])
-    return [
-        jnp.concatenate([new[0][k], new[1][k], new[2][k], new[3][k]], axis=0)
-        for k in range(8)
-    ]
+    """MixColumns on full [16, W] planes via sublane rolls.
+
+    With rows q = 4r + c, state row r+1 sits 4 sublanes below row r, so
+    u[r] = a[r] ^ a[r+1] for ALL r is one roll + one xor per plane, and
+    t = a0^a1^a2^a3 (replicated to every row) is u ^ roll(u, 8).  This
+    keeps every op on full 16-sublane tiles — the earlier [4, W]
+    quarter-tile formulation left half of each 8-sublane vreg idle and
+    measured ~10% slower end-to-end.
+    """
+    shifted = [pltpu.roll(p, 12, 0) for p in planes]  # [q] <- [q+4]
+    u = [p ^ s for p, s in zip(planes, shifted)]
+    t = [x ^ pltpu.roll(x, 8, 0) for x in u]
+    xt = _xtime_bits(u)
+    return [planes[k] ^ t[k] ^ xt[k] for k in range(8)]
 
 
 def _kernel(start_ref, rk_ref, const_ref, out_ref, *, tile_w: int):

@@ -1,4 +1,12 @@
-"""Fused AES-keystream -> MAC Pallas kernel: eval_poly without HBM round-trips.
+"""Fused AES-keystream Pallas kernels: eval_poly and the setup encrypt
+loop without HBM round-trips.
+
+Two kernels share one AES tile generator (_aes_pair_tile) and differ only
+in the MXU contraction that follows: _mac_kernel contracts ciphertext
+ROWS against per-term coefficients (the prover's eval_poly,
+src/lwe.c:176-186), _enc_kernel contracts BYTE COLUMNS within each row
+against a banded sk-digit matrix (the setup loop's <sk, a>,
+src/snark.c:75-110 / src/lwe.c:20-28).
 
 The two-stage eval pipeline (ops/aes_pallas.py keystream kernel + XLA
 expand/matmul, models/lwe.py:262-314) measures 9.2 GB/s effective against
@@ -43,6 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import digits as dg
 from .aes_pallas import _ROW_OF_BYTE, _mix_columns_rm, _shift_rows_rm, _v2_meta_np
 from .sbox_opt import sbox_bits_opt as _sbox_bits
 from .bitslice import transpose32
@@ -50,21 +59,18 @@ from .bitslice import transpose32
 _FULL32 = np.uint32(0xFFFFFFFF)
 
 
-def _mac_kernel(
-    start_ref,      # SMEM uint32 [2]: section base block counter (lo, hi)
-    rk_ref,         # VMEM uint32 [15, 8, 16, 1]
-    const_ref,      # VMEM uint32 [8, 16, 1]
-    meta_ref,       # VMEM uint32 [8, 4, 16, 1]
-    cb_ref,         # VMEM int8  [lane_w, 8k]: recentred coeff bytes (row chunk)
-    out_ref,        # VMEM int32 [1, 4, 128, 4k]: per-col-chunk accumulator
-    *,
-    lane_w: int,
-    stride: int,    # pair block stride = 2 * ctr_ct / 16
-    planes4k: int,  # 4k
-):
-    c = pl.program_id(0)
-    r = pl.program_id(1)
+def _aes_pair_tile(
+    start_ref, rk_ref, const_ref, meta_ref, c, r, *, lane_w: int, stride: int
+) -> jnp.ndarray:
+    """One AES tile of the pair-major keystream matrix, as uint32 words.
 
+    Lanes = pair rows r*lane_w + w of a section whose pair stride is
+    ``stride`` blocks; word-columns = the 128 LE words of the 32
+    consecutive blocks at block-column chunk c.  Returns uint32
+    [128, lane_w], row 4b + g = word g of in-chunk block b.  Shared by
+    the eval MAC kernel and the encrypt kernel — the whole cipher runs
+    identically; only the contraction that follows differs.
+    """
     # ---- per-step base counter: section + r*lane_w*stride + 32*c --------
     step = jnp.uint32(r) * jnp.uint32(lane_w * stride) + jnp.uint32(c) * jnp.uint32(32)
     base_lo = start_ref[0] + step
@@ -128,7 +134,7 @@ def _mac_kernel(
     planes = [p ^ rk_ref[14, k] for k, p in enumerate(planes)]
 
     # ---- un-bitslice to [128 word-cols, W] (no final transpose needed:
-    # the MAC contracts over lanes, so word-cols-major is the right shape)
+    # both consumers contract over a tile axis, so word-major is right)
     words = []
     for g in range(4):
         rows = []
@@ -137,11 +143,35 @@ def _mac_kernel(
             rows.extend(planes[k][q][None, :] for k in range(8))
         p32 = jnp.concatenate(rows, axis=0)  # [32, W]
         words.append(transpose32(p32))  # [32(b), W]
-    w32 = jnp.stack(words, axis=1).reshape(128, lane_w)  # row = 4b+g
+    return jnp.stack(words, axis=1).reshape(128, lane_w)  # row = 4b+g
+
+
+def _mac_kernel(
+    start_ref,      # SMEM uint32 [2]: section base block counter (lo, hi)
+    rk_ref,         # VMEM uint32 [15, 8, 16, 1]
+    const_ref,      # VMEM uint32 [8, 16, 1]
+    meta_ref,       # VMEM uint32 [8, 4, 16, 1]
+    cb_ref,         # VMEM int8  [lane_w, 8k]: recentred coeff bytes (row chunk)
+    out_ref,        # VMEM int32 [1, 4, 128, 4k]: per-col-chunk accumulator
+    *,
+    lane_w: int,
+    stride: int,    # pair block stride = 2 * ctr_ct / 16
+    planes4k: int,  # 4k
+    lead: int,      # dead prefix bytes before the section (0 or 8)
+):
+    c = pl.program_id(0)
+    r = pl.program_id(1)
+    w32 = _aes_pair_tile(
+        start_ref, rk_ref, const_ref, meta_ref, c, r,
+        lane_w=lane_w, stride=stride,
+    )
 
     # ---- MAC: per byte-in-word position g', one MXU matmul --------------
     # Column select: byte col of word-col wc at position g' is
-    # 512*c + 4*wc + g'; it belongs to the even ct iff < ctr_ct = 8*stride.
+    # 512*c + 4*wc + g'; past the dead lead it belongs to the even ct iff
+    # col - lead < ctr_ct = 8*stride.  (lead > 0 = half-block section
+    # offsets like CTR_BV, src/snark.h:11; those keystream bytes belong
+    # to the previous section and must not reach either half.)
     # The coefficient-side recentring corrections (128 * colsum(cb-128)
     # + 128^2 * W per row chunk) are column-independent once the even and
     # odd halves are added, so they move to the XLA epilogue; only the
@@ -158,8 +188,11 @@ def _mac_kernel(
         )  # [128, 8k]
         rowsum = jnp.sum(xs.astype(jnp.int32), axis=1, keepdims=True)  # [128,1]
         exact = mm + 128 * rowsum
-        even = 512 * c + 4 * wc_iota + g < 8 * stride  # [128, 1]
+        col = 512 * c + 4 * wc_iota + g  # [128, 1]
+        even = col - lead < 8 * stride
         val = jnp.where(even, exact[:, :half], exact[:, half:])  # [128, 4k]
+        if lead:
+            val = jnp.where(col < lead, 0, val)
 
         @pl.when(r == 0)
         def _():
@@ -189,18 +222,20 @@ def eval_mac_planes(
     keystream-dominated a-part.
 
     Constraints (callers fall back to the scan path otherwise):
-    d % (2 * lane_w) == 0, n even, section_offset % 16 == 0.
+    d % (2 * lane_w) == 0, n even, section_offset % 8 == 0 (half-block
+    offsets — the CTR_BV phase — are handled via a dead lead prefix).
     """
     k, d = coeffs.shape
     assert n % 2 == 0 and ctr_ct == 92 * n
     assert d % (2 * lane_w) == 0, (d, lane_w)
-    assert section_offset % 16 == 0, section_offset
+    lead = section_offset % 16
+    assert lead % 8 == 0, section_offset
     stride = ctr_ct // 8  # blocks per ciphertext pair
-    n_chunks_c = -(-stride // 32)
+    n_chunks_c = -(-(16 * stride + lead) // 512)
     n_chunks_r = (d // 2) // lane_w
     planes4k = 4 * k
 
-    base = section_offset // 16
+    base = (section_offset - lead) // 16
     start = jnp.asarray([base & 0xFFFFFFFF, base >> 32], jnp.uint32)
 
     # coefficient bytes: [d, 4] LE -> even/odd pair rows side by side,
@@ -219,7 +254,8 @@ def eval_mac_planes(
 
     out = pl.pallas_call(
         functools.partial(
-            _mac_kernel, lane_w=lane_w, stride=stride, planes4k=planes4k
+            _mac_kernel, lane_w=lane_w, stride=stride, planes4k=planes4k,
+            lead=lead,
         ),
         grid=(n_chunks_c, n_chunks_r),  # rows minor: out block stays put
         out_shape=jax.ShapeDtypeStruct(
@@ -244,12 +280,181 @@ def eval_mac_planes(
     )(start, key.pallas_key["rk_rm"], key.pallas_key["const_rm2"],
       jnp.asarray(_v2_meta_np()), cb_s)
 
-    # [C, 4(g'), 128(wc), 4k] -> byte cols j = 512c + 4wc + g'
+    # [C, 4(g'), 128(wc), 4k] -> byte cols j = 512c + 4wc + g'; the dead
+    # lead prefix and the tail chunk padding drop with the slice (every
+    # column keeps its own accumulator slot, so stray columns can't
+    # contaminate section bytes)
     acc = out.transpose(3, 0, 2, 1).reshape(planes4k, n_chunks_c * 512)
-    acc = acc[:, : 2 * ctr_ct].reshape(planes4k, 2, n, 92)[..., :88]
+    acc = acc[:, lead : lead + 2 * ctr_ct].reshape(planes4k, 2, n, 92)[..., :88]
     # even-ct + odd-ct halves: both carry their own coefficients already
     acc = acc[:, 0] + acc[:, 1] + corr[:, None, None]
     # [4k, n, 88] <= d * 255^2 < 2^31
     # plane axis is (k, byte) flattened with byte minor; put byte leading
     # to match combine_shift_planes' [4, ...] convention
     return acc.reshape(k, 4, n, 88).transpose(1, 0, 2, 3)
+
+
+# --------------------------------------------------------------------------
+# Fused keystream -> encrypt kernel: the setup loop without HBM round-trips.
+# --------------------------------------------------------------------------
+
+
+def _enc_kernel(
+    start_ref,      # SMEM uint32 [2]: aligned section base block (lo, hi)
+    rk_ref,         # VMEM uint32 [15, 8, 16, 1]
+    const_ref,      # VMEM uint32 [8, 16, 1]
+    meta_ref,       # VMEM uint32 [8, 4, 16, 1]
+    w_ref,          # VMEM int8 [1, 4, 128, 384]: sk nibble-band block (chunk c)
+    out_ref,        # VMEM int32 [1, lane_w, 384]: per-row-chunk accumulator
+    *,
+    lane_w: int,
+    stride: int,    # pair block stride = 2 * ctr_ct / 16
+):
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    w32 = _aes_pair_tile(
+        start_ref, rk_ref, const_ref, meta_ref, c, r,
+        lane_w=lane_w, stride=stride,
+    )
+
+    # <sk, a> digit contraction over this chunk's 512 byte columns: byte
+    # col 512c + 4wc + g of pair row l, against the matching sk-band rows.
+    # The keystream side is recentred for the MXU; the band side holds
+    # raw sk NIBBLES (0..15), so every accumulated column stays within
+    # int32 across the whole sweep (<= n*88*255*15 = 4.9e8) and the
+    # recentring correction is one lane-independent column-sum term
+    # applied in the epilogue.  No in-kernel carry folding needed.
+    mm = jnp.zeros((lane_w, 384), jnp.int32)
+    for g in range(4):
+        x = ((w32 >> jnp.uint32(8 * g)) & jnp.uint32(255)).astype(jnp.int32)
+        xs = (x - 128).astype(jnp.int8)  # [128, W]
+        mm = mm + jax.lax.dot_general(
+            xs, w_ref[0, g],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [W, 384]
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[0] = mm
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[0] += mm
+
+
+def _sk_band_blocks(sk: jnp.ndarray, lead: int, ctr_ct: int):
+    """sk as a banded byte-column -> digit-plane matrix, chunk-blocked.
+
+    Row (lead + e*ctr_ct + j*92 + k) of the [n_chunks*512, 384] matrix
+    holds sk[j, t-k] at columns t + 176*nib (+88 for the odd ciphertext
+    e=1), split into low/high nibbles; dead bytes (k >= 88), the lead
+    prefix, and the pad tail are zero rows.  Returns (blocks int8
+    [chunks, 4, 128, 384], colsum_lo int32 [176], colsum_hi int32 [176]).
+    """
+    n = sk.shape[0]
+    total = lead + 2 * ctr_ct
+    chunks = -(-total // 512)
+
+    # W3[j, k, t] = sk[j, t - k] (0 when t < k or k >= 88)
+    sk_pad = jnp.pad(sk, ((0, 0), (92, 0)))  # [n, 180]
+    idx = (
+        np.arange(88)[None, :] - np.arange(92)[:, None] + 92
+    )  # [92, 88] in [1, 179]
+    w3 = sk_pad[:, jnp.asarray(idx)].reshape(n * 92, 88)  # uint8
+    wl, wh = w3 & 15, w3 >> 4
+    z = jnp.zeros_like(wl)
+    zp = jnp.zeros((n * 92, 32), jnp.uint8)
+    even = jnp.concatenate([wl, z, wh, z, zp], axis=1)  # [92n, 384]
+    odd = jnp.concatenate([z, wl, z, wh, zp], axis=1)
+    full = jnp.concatenate(
+        [
+            jnp.zeros((lead, 384), jnp.uint8),
+            even,
+            odd,
+            jnp.zeros((chunks * 512 - total, 384), jnp.uint8),
+        ],
+        axis=0,
+    )
+    blocks = jax.lax.bitcast_convert_type(
+        full.reshape(chunks, 128, 4, 384).transpose(0, 2, 1, 3), jnp.int8
+    )
+    cs = jnp.sum(wl.astype(jnp.int32), axis=0), jnp.sum(wh.astype(jnp.int32), axis=0)
+    # both ciphertexts of a pair share the same band, so one 88-wide sum
+    # serves even and odd halves
+    return blocks, cs[0], cs[1]
+
+
+def encrypt_b_fused(
+    key,
+    section_offset: int,
+    sk: jnp.ndarray,
+    count: int,
+    n: int,
+    ctr_ct: int,
+    *,
+    lane_w: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """<sk, a_i> mod 2^704 for ``count`` sequential section ciphertexts.
+
+    Single-kernel counterpart of expand_a + bigint_dot_acc for the setup
+    loop (reference src/snark.c:75-110): the keystream never leaves VMEM.
+    Returns int32 planes [count, 88] (non-negative, one partial fold from
+    normalized digits); the caller adds p*e + m and carry-folds.
+
+    Constraints: n even; section_offset % 16 in {0, 8} (every CTR_*
+    section offset is a multiple of CTR_CT = 92n which is 8 mod 16 for
+    the release n — src/snark.h:8-12).
+    """
+    assert n % 2 == 0 and ctr_ct == 92 * n and (2 * ctr_ct) % 16 == 0
+    lead = section_offset % 16
+    assert lead % 8 == 0, section_offset
+    pairs = -(-count // 2)
+    n_chunks_r = -(-pairs // lane_w)
+    pairs_pad = n_chunks_r * lane_w
+    total = lead + 2 * ctr_ct  # per-pair column window (lead bytes dead)
+    n_chunks_c = -(-total // 512)
+    stride = 2 * ctr_ct // 16  # pair-to-pair block stride (lead-independent)
+
+    base = (section_offset - lead) // 16
+    start = jnp.asarray([base & 0xFFFFFFFF, base >> 32], jnp.uint32)
+    wblocks, cs_lo, cs_hi = _sk_band_blocks(sk, lead, ctr_ct)
+
+    out = pl.pallas_call(
+        functools.partial(_enc_kernel, lane_w=lane_w, stride=stride),
+        grid=(n_chunks_r, n_chunks_c),  # cols minor: out block stays put
+        out_shape=jax.ShapeDtypeStruct((n_chunks_r, lane_w, 384), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((15, 8, 16, 1), lambda r, c: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 16, 1), lambda r, c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 4, 16, 1), lambda r, c: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 128, 384), lambda r, c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, lane_w, 384), lambda r, c: (r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(start, key.pallas_key["rk_rm"], key.pallas_key["const_rm2"],
+      jnp.asarray(_v2_meta_np()), wblocks)
+
+    acc = out.reshape(pairs_pad, 384)[:pairs]
+    # recentring correction: sum_c x*W = mm + 128 * colsum(W); W holds raw
+    # nibbles so the corrected columns are exact NON-NEGATIVE partial sums
+    # (<= n*88*255*15 = 4.9e8), which keeps everything in int32 (x64 is
+    # disabled): fold the high-nibble planes before the x16 scale.
+    corr_lo = 128 * jnp.concatenate([cs_lo, cs_lo])  # int32 [176]
+    corr_hi = 128 * jnp.concatenate([cs_hi, cs_hi])
+    v_lo = (acc[:, :176] + corr_lo).reshape(pairs, 2, 88)
+    v_hi = (acc[:, 176:352] + corr_hi).reshape(pairs, 2, 88)
+    # per-ciphertext folds: carries at digit 87 drop = mod-2^704 truncation
+    hi_f = dg.partial_fold(v_hi)  # <= 255 + 2^21
+    comb = v_lo + 16 * hi_f  # <= 4.9e8 + 2^25 < 2^31
+    planes = dg.partial_fold(comb).reshape(2 * pairs, 88)[:count]
+    return planes  # <= 255 + ~2^21, non-negative int32

@@ -101,21 +101,59 @@ def _find_params():
     return N, nu
 
 
-def _find_isomorphism(N: int, nu: int):
-    """Root r of the Rijndael polynomial in the tower field -> basis maps."""
+def enumerate_variants():
+    """All valid tower constructions (N, nu, root) — the search space for
+    the S-box gate-count optimizer (ops/sbox_opt.py).
+
+    N ranges over GF(4) elements making z^2+z+N irreducible, nu over
+    GF(16) elements making y^2+y+nu irreducible over GF(16), and root
+    over the 8 conjugate embeddings of the Rijndael field into the tower.
+    Each choice yields different basis-change matrices M_IN / M_OUT with
+    different XOR-circuit costs; the tower inversion core is isomorphic
+    across all of them.
+    """
+    out = []
+    for N in (2, 3):
+        if any(_mul2(z, z) ^ z == N for z in range(4)):
+            continue
+        for nu in range(1, 16):
+            if any(_mul4(y, y, N) ^ y == nu for y in range(16)):
+                continue
+            for r in _find_roots(N, nu):
+                out.append((N, nu, r))
+    return out
+
+
+def _find_roots(N: int, nu: int):
+    """All roots of the Rijndael polynomial in the tower field."""
+    roots = []
     for r in range(2, 256):
-        # x^8 + x^4 + x^3 + x + 1 at r, all in tower arithmetic
         pw = [1]
         for _ in range(8):
             pw.append(_mul8(pw[-1], r, N, nu))
         if pw[8] ^ pw[4] ^ pw[3] ^ pw[1] ^ 1 == 0:
-            # to_tower matrix: column i = r^i
-            M = np.zeros((8, 8), dtype=np.uint8)
-            for i in range(8):
-                for k in range(8):
-                    M[k, i] = (pw[i] >> k) & 1
-            return M
-    raise AssertionError("no root found")  # pragma: no cover
+            roots.append(r)
+    return roots
+
+
+def _root_matrix(N: int, nu: int, r: int) -> np.ndarray:
+    """to_tower matrix for root r: column i = r^i in tower coordinates."""
+    pw = [1]
+    for _ in range(7):
+        pw.append(_mul8(pw[-1], r, N, nu))
+    M = np.zeros((8, 8), dtype=np.uint8)
+    for i in range(8):
+        for k in range(8):
+            M[k, i] = (pw[i] >> k) & 1
+    return M
+
+
+def _find_isomorphism(N: int, nu: int):
+    """First root of the Rijndael polynomial in the tower -> basis map."""
+    roots = _find_roots(N, nu)
+    if not roots:  # pragma: no cover
+        raise AssertionError("no root found")
+    return _root_matrix(N, nu, roots[0])
 
 
 def _gf2_inv(M: np.ndarray) -> np.ndarray:
@@ -130,11 +168,14 @@ def _gf2_inv(M: np.ndarray) -> np.ndarray:
     return A[:, n:]
 
 
-def _build():
-    N, nu = _find_params()
-    M = _find_isomorphism(N, nu)  # AES bits -> tower bits
+def build_matrices(N: int, nu: int, r: int):
+    """(M_IN, M_OUT) for one tower variant, exhaustively self-checked.
+
+    M_IN maps AES bits to tower coordinates; M_OUT composes the inverse
+    map with the AES affine layer, so S(x) = M_OUT @ inv8(M_IN @ x) ^ 0x63.
+    """
+    M = _root_matrix(N, nu, r)
     Minv = _gf2_inv(M)
-    # Compose the AES affine map into the output matrix: S(x) = Aff(Minv.inv)
     # affine: s_i = b_i ^ b_{(i+4)%8} ^ b_{(i+5)%8} ^ b_{(i+6)%8} ^ b_{(i+7)%8}
     AFF = np.zeros((8, 8), dtype=np.uint8)
     for i in range(8):
@@ -157,7 +198,13 @@ def _build():
         s = apply(M_out, _inv8(apply(M, x), N, nu)) ^ 0x63
         if s != sb[x]:  # pragma: no cover
             raise AssertionError(f"tower sbox mismatch at {x}: {s} != {sb[x]}")
-    return N, nu, M.astype(np.uint8), M_out.astype(np.uint8)
+    return M.astype(np.uint8), M_out.astype(np.uint8)
+
+
+def _build():
+    N, nu = _find_params()
+    M, M_out = build_matrices(N, nu, _find_roots(N, nu)[0])
+    return N, nu, M, M_out
 
 
 _N, _NU, _M_IN, _M_OUT = _build()
@@ -191,29 +238,32 @@ def _bscale2(a, c: int):
     raise ValueError(c)
 
 
-def _bmul4(a, b):
+def _bmul4(a, b, N=None):
+    N = _N if N is None else N
     ah, al = a[2:], a[:2]
     bh, bl = b[2:], b[:2]
     e = _bmul2(ah, bh)
     f = _bmul2(al, bl)
     g = _bmul2([ah[0] ^ al[0], ah[1] ^ al[1]], [bh[0] ^ bl[0], bh[1] ^ bl[1]])
     hi = [g[0] ^ f[0], g[1] ^ f[1]]
-    en = _bscale2(e, _N)
+    en = _bscale2(e, N)
     lo = [en[0] ^ f[0], en[1] ^ f[1]]
     return lo + hi
 
 
-def _bsq4(a):
+def _bsq4(a, N=None):
+    N = _N if N is None else N
     ah, al = a[2:], a[:2]
     # (ah z + al)^2 = ah^2 z^2 + al^2 = ah^2 z + (ah^2 N + al^2)
     sh = _bsq2(ah)
     sl = _bsq2(al)
-    shn = _bscale2(sh, _N)
+    shn = _bscale2(sh, N)
     return [shn[0] ^ sl[0], shn[1] ^ sl[1]] + sh
 
 
-def _bscale4(a, c: int):
+def _bscale4(a, c: int, N=None):
     """Multiply by a GF(16) constant via two mul2-by-constant column ops."""
+    N = _N if N is None else N
     ch, cl = c >> 2, c & 3
     ah, al = a[2:], a[:2]
     # (ah z + al)(ch z + cl) = (ah cl + al ch + ah ch) z + (ah ch N + al cl)
@@ -235,7 +285,7 @@ def _bscale4(a, c: int):
         return [p[0] ^ q[0], p[1] ^ q[1]]
 
     hi = x2(x2(hl, lh), hh)
-    hhn = None if hh is None else _bscale2(hh, _N)
+    hhn = None if hh is None else _bscale2(hh, N)
     lo = x2(hhn, ll)
     z = None
     if hi is None or lo is None:
@@ -244,10 +294,11 @@ def _bscale4(a, c: int):
     return (lo if lo is not None else z) + (hi if hi is not None else z)
 
 
-def _binv4(a):
+def _binv4(a, N=None):
+    N = _N if N is None else N
     ah, al = a[2:], a[:2]
     t = _bmul2(ah, al)
-    d0 = _bscale2(_bsq2(ah), _N)
+    d0 = _bscale2(_bsq2(ah), N)
     d1 = _bsq2(al)
     delta = [d0[0] ^ t[0] ^ d1[0], d0[1] ^ t[1] ^ d1[1]]
     d = _bsq2(delta)
@@ -256,15 +307,17 @@ def _binv4(a):
     return lo + hi
 
 
-def _binv8(a):
+def _binv8(a, N=None, nu=None):
+    N = _N if N is None else N
+    nu = _NU if nu is None else nu
     ah, al = a[4:], a[:4]
-    t = _bmul4(ah, al)
-    d0 = _bscale4(_bsq4(ah), _NU)
-    d1 = _bsq4(al)
+    t = _bmul4(ah, al, N)
+    d0 = _bscale4(_bsq4(ah, N), nu, N)
+    d1 = _bsq4(al, N)
     delta = [d0[k] ^ t[k] ^ d1[k] for k in range(4)]
-    d = _binv4(delta)
-    hi = _bmul4(ah, d)
-    lo = _bmul4([ah[k] ^ al[k] for k in range(4)], d)
+    d = _binv4(delta, N)
+    hi = _bmul4(ah, d, N)
+    lo = _bmul4([ah[k] ^ al[k] for k in range(4)], d, N)
     return lo + hi
 
 
@@ -280,14 +333,20 @@ def _bmatrix(M: np.ndarray, x):
     return out
 
 
-def sbox_tower_bits(x):
+def sbox_tower_bits(x, variant=None):
     """Bitsliced AES S-box via the tower field (~190 gates).
 
     x: list of 8 identically-shaped uint32 arrays (LSB first).
+    variant: optional (N, nu, M_IN, M_OUT) from build_matrices — lets the
+    gate optimizer search over tower constructions.
     """
-    t = _bmatrix(_M_IN, x)
-    inv = _binv8(t)
-    s = _bmatrix(_M_OUT, inv)
+    if variant is None:
+        N, nu, M_in, M_out = _N, _NU, _M_IN, _M_OUT
+    else:
+        N, nu, M_in, M_out = variant
+    t = _bmatrix(M_in, x)
+    inv = _binv8(t, N, nu)
+    s = _bmatrix(M_out, inv)
     out = []
     for i in range(8):
         v = s[i]

@@ -8,9 +8,17 @@ same circuit symbolically and optimizes it:
 1. hash-consing CSE with algebraic identities (x^x=0, x&x=x, constant
    folding) — the tower decomposition recomputes shared subterms like
    ah^al across its Karatsuba legs;
-2. greedy common-pair extraction over all maximal XOR trees (the classic
-   heuristic for GF(2) linear layers) — the input/output basis-change
-   matrices are dense XOR chains with many shared pairs.
+2. NOT folding: the affine 0x63 flips become XORs with a symbolic ONE
+   atom, so inverters participate in subexpression sharing like any
+   other term;
+3. randomized greedy common-pair extraction over all maximal XOR trees
+   (the classic heuristic for GF(2) linear layers) — ties between
+   equally frequent pairs are broken at random and the best of many
+   restarts is kept;
+4. tower-variant search: gf_tower.enumerate_variants() gives 128 valid
+   (N, nu, root) constructions whose basis-change matrices differ in
+   XOR cost; ``search_best`` scans them offline (tools/sbox_search.py)
+   and the winner is frozen in ``_BEST`` below.
 
 The optimized instruction list is verified exhaustively against the
 table S-box for all 256 inputs (bitsliced over python-int masks) at
@@ -24,11 +32,18 @@ import numpy as np
 from . import gf_tower
 from ..oracle import aes as host_aes
 
+# Frozen winner of the offline search (tools/sbox_search.py); see
+# search_best().  (N, nu, root) indexes gf_tower.build_matrices; the
+# seed drives the randomized tie-breaks of the greedy extraction.
+_BEST: dict = {"variant": (2, 8, 122), "seed": 80, "eps": 0.0}  # 154 gates
+
 # ---------------------------------------------------------------------------
 # Symbolic expression DAG with hash-consing.
 # ---------------------------------------------------------------------------
 
 _XOR, _AND, _NOT, _IN, _ZERO = "x", "a", "n", "i", "z"
+
+_ONE_ATOM = -1  # sentinel atom: the all-ones constant (NOT x == x ^ ONE)
 
 
 class _E:
@@ -62,6 +77,11 @@ class _E:
         cls._table[key] = self
         return self
 
+    @classmethod
+    def reset(cls):
+        cls._table = {}
+        cls._ctr = [0]
+
     def __xor__(self, other):
         if isinstance(other, (int, np.integer)):  # the 0x63 affine flip
             if int(other) == 0:
@@ -76,22 +96,38 @@ class _E:
 
 
 def _flatten_xor(e: "_E", memo: dict) -> frozenset:
-    """Maximal XOR-tree leaves (atoms = non-xor nodes), as a set (GF(2))."""
+    """Maximal XOR-tree leaves (atoms = non-xor nodes), as a set (GF(2)).
+
+    NOT nodes are folded into the set as {operand atoms} xor {ONE}, so
+    inverters take part in pair sharing.
+    """
     if e.id in memo:
         return memo[e.id]
-    if e.op != _XOR:
-        out = frozenset((e.id,))
-    else:
+    if e.op == _XOR:
         a, b = (_flatten_xor(x, memo) for x in e.args)
         out = a ^ b  # symmetric difference == GF(2) cancellation
+    elif e.op == _NOT:
+        out = _flatten_xor(e.args[0], memo) ^ frozenset((_ONE_ATOM,))
+    else:
+        out = frozenset((e.id,))
     memo[e.id] = out
     return out
 
 
-def _build_instructions():
-    """Trace, optimize, and emit the S-box as (op, dst, a, b) tuples."""
+def _build_instructions(variant=None, seed: int | None = None,
+                        eps: float = 0.0):
+    """Trace, optimize, and emit the S-box as (op, dst, a, b) tuples.
+
+    variant: (N, nu, M_IN, M_OUT) tower construction (None = gf_tower
+    default); seed: tie-break randomization for the greedy extraction
+    (None = deterministic first-max order); eps: probability of picking
+    a near-best pair (count >= max-1) instead of a best one — widens the
+    restart search beyond pure tie-breaks.
+    """
+    _E.reset()
+    rng = None if seed is None else np.random.default_rng(seed)
     ins = [_E(_IN, (k,)) for k in range(8)]
-    outs = gf_tower.sbox_tower_bits(ins)
+    outs = gf_tower.sbox_tower_bits(ins, variant)
 
     # --- collect reachable nodes -----------------------------------------
     order: list[_E] = []
@@ -110,26 +146,27 @@ def _build_instructions():
         visit(o)
 
     # --- greedy pair extraction over XOR trees ---------------------------
-    # Rebuild every needed XOR value as a set of atoms; atoms are INs,
-    # ANDs, NOTs (whose operand sets are handled recursively by emission).
+    # Rebuild every needed value as a set of atoms; atoms are INs, ANDs,
+    # and the ONE constant (NOTs are folded away by _flatten_xor).
     memo: dict[int, frozenset] = {}
     by_id = {e.id: e for e in order}
-    # targets: xor-sets feeding non-xor consumers (AND/NOT args) + outputs
+    # targets: xor-sets feeding nonlinear consumers (AND args) + outputs
     targets: dict[int, frozenset] = {}
 
     def want(e: _E):
-        if e.op == _XOR:
+        if e.op in (_XOR, _NOT):
             targets[e.id] = _flatten_xor(e, memo)
-        # non-xor: nothing (emitted directly)
+        # other atoms: nothing (emitted directly)
 
     for e in order:
-        if e.op in (_AND, _NOT):
+        if e.op == _AND:
             for a in e.args:
                 want(a)
     for o in outs:
         want(o)
 
-    # Greedy: repeatedly materialize the most frequent atom pair.
+    # Greedy: repeatedly materialize the most frequent atom pair,
+    # breaking count ties at random when seeded.
     sets = {k: set(v) for k, v in targets.items()}
     pair_atoms: list[tuple[int, int]] = []  # synthesized atom -> (a, b)
     synth_base = 1 << 40
@@ -143,9 +180,15 @@ def _build_instructions():
                     counts[p] = counts.get(p, 0) + 1
         if not counts:
             break
-        best, n = max(counts.items(), key=lambda kv: kv[1])
+        n = max(counts.values())
         if n < 2:
             break
+        if rng is None:
+            best = max(counts.items(), key=lambda kv: kv[1])[0]
+        else:
+            lo = n - 1 if (eps and n > 2 and rng.random() < eps) else n
+            tied = sorted(p for p, c in counts.items() if c >= lo)
+            best = tied[int(rng.integers(len(tied)))]
         new_atom = synth_base + len(pair_atoms)
         pair_atoms.append(best)
         a, b = best
@@ -172,15 +215,18 @@ def _build_instructions():
             return reg_of[atom]
         if atom >= synth_base:  # synthesized xor pair
             a, b = pair_atoms[atom - synth_base]
-            r = emit("xor", reg_for_atom(a), reg_for_atom(b))
+            if a == _ONE_ATOM:  # (ONE, x) pair == NOT x
+                r = emit("not", reg_for_atom(b))
+            else:
+                r = emit("xor", reg_for_atom(a), reg_for_atom(b))
+        elif atom == _ONE_ATOM:  # a bare constant register (never shared
+            r = emit("one", 0)  # into arithmetic in practice)
         else:
             e = by_id[atom]
             if e.op == _IN:
                 r = e.args[0]
             elif e.op == _AND:
                 r = emit("and", reg_for_node(e.args[0]), reg_for_node(e.args[1]))
-            elif e.op == _NOT:
-                r = emit("not", reg_for_node(e.args[0]))
             elif e.op == _ZERO:
                 r = emit("zero", 0)
             else:  # pragma: no cover
@@ -189,18 +235,21 @@ def _build_instructions():
         return r
 
     def reg_for_set(s: frozenset | set) -> int:
-        rs = [reg_for_atom(a) for a in sorted(s)]
+        one = _ONE_ATOM in s
+        rs = [reg_for_atom(a) for a in sorted(x for x in s if x != _ONE_ATOM)]
         if not rs:
-            return emit("zero", 0)
+            return reg_for_atom(_ONE_ATOM) if one else emit("zero", 0)
         acc = rs[0]
         for r in rs[1:]:
             acc = emit("xor", acc, r)
+        if one:
+            acc = emit("not", acc)
         return acc
 
     set_reg: dict[frozenset, int] = {}
 
     def reg_for_node(e: _E) -> int:
-        if e.op == _XOR:
+        if e.op in (_XOR, _NOT):
             key = frozenset(sets[e.id])
             if key not in set_reg:
                 set_reg[key] = reg_for_set(sets[e.id])
@@ -211,29 +260,23 @@ def _build_instructions():
     return instructions, out_regs, next_reg[0]
 
 
-_INSTRUCTIONS, _OUT_REGS, _NREGS = _build_instructions()
-GATE_COUNT = sum(1 for i in _INSTRUCTIONS if i[0] in ("xor", "and", "not"))
-
-
-def sbox_bits_opt(x):
-    """Optimized bitsliced S-box: list of 8 arrays -> list of 8 arrays.
-
-    Same contract as gf_tower.sbox_tower_bits; ~25% fewer gates.
-    """
-    regs = list(x) + [None] * (_NREGS - 8)
-    for op, dst, a, b in _INSTRUCTIONS:
+def _run_instructions(x, instructions, out_regs, nregs):
+    regs = list(x) + [None] * (nregs - 8)
+    for op, dst, a, b in instructions:
         if op == "xor":
             regs[dst] = regs[a] ^ regs[b]
         elif op == "and":
             regs[dst] = regs[a] & regs[b]
         elif op == "not":
             regs[dst] = regs[a] ^ np.uint32(0xFFFFFFFF)
+        elif op == "one":
+            regs[dst] = (regs[0] ^ regs[0]) ^ np.uint32(0xFFFFFFFF)
         else:  # zero
             regs[dst] = regs[0] ^ regs[0]
-    return [regs[r] for r in _OUT_REGS]
+    return [regs[r] for r in out_regs]
 
 
-def _selfcheck():
+def _check_instructions(instructions, out_regs, nregs) -> bool:
     """Exhaustive check vs the table S-box, bitsliced over int masks."""
     planes = [0] * 8
     for j in range(256):
@@ -257,12 +300,65 @@ def _selfcheck():
         def __and__(self, o):
             return I(self.v & o.v)
 
-    out = sbox_bits_opt([I(p) for p in planes])
+    out = _run_instructions(
+        [I(p) for p in planes], instructions, out_regs, nregs
+    )
     sb = host_aes.sbox()
-    for j in range(256):
-        got = sum(((out[k].v >> j) & 1) << k for k in range(8))
-        if got != sb[j]:  # pragma: no cover
-            raise AssertionError(f"optimized sbox mismatch at {j}")
+    return all(
+        sum(((out[k].v >> j) & 1) << k for k in range(8)) == sb[j]
+        for j in range(256)
+    )
 
 
-_selfcheck()
+def search_best(restarts: int = 16, variants=None, verbose: bool = False,
+                eps_grid=(0.0, 0.15, 0.3)):
+    """Scan tower variants x greedy seeds x eps for the smallest circuit.
+
+    Offline tool (tools/sbox_search.py); the winner gets frozen into
+    ``_BEST``.  Returns (gate_count, {"variant": (N, nu, root), "seed",
+    "eps"}).
+    """
+    if variants is None:
+        variants = gf_tower.enumerate_variants()
+    best = (1 << 30, None)
+    for N, nu, r in variants:
+        m_in, m_out = gf_tower.build_matrices(N, nu, r)
+        var = (N, nu, m_in, m_out)
+        for seed in range(restarts):
+            for eps in eps_grid:
+                ins, outs_r, nregs = _build_instructions(var, seed, eps)
+                count = sum(1 for i in ins if i[0] in ("xor", "and", "not"))
+                if count < best[0]:
+                    assert _check_instructions(ins, outs_r, nregs)
+                    best = (count, {"variant": (N, nu, r), "seed": seed,
+                                    "eps": eps})
+                    if verbose:
+                        print(f"new best {count} gates: N={N} nu={nu} "
+                              f"root={r} seed={seed} eps={eps}")
+    return best
+
+
+def _build_frozen():
+    if _BEST["variant"] is None:
+        var = None
+    else:
+        N, nu, r = _BEST["variant"]
+        m_in, m_out = gf_tower.build_matrices(N, nu, r)
+        var = (N, nu, m_in, m_out)
+    return _build_instructions(var, _BEST["seed"], _BEST.get("eps", 0.0))
+
+
+_INSTRUCTIONS, _OUT_REGS, _NREGS = _build_frozen()
+GATE_COUNT = sum(1 for i in _INSTRUCTIONS if i[0] in ("xor", "and", "not"))
+
+
+def sbox_bits_opt(x):
+    """Optimized bitsliced S-box: list of 8 arrays -> list of 8 arrays.
+
+    Same contract as gf_tower.sbox_tower_bits, at GATE_COUNT gates.
+    """
+    return _run_instructions(x, _INSTRUCTIONS, _OUT_REGS, _NREGS)
+
+
+if not _check_instructions(_INSTRUCTIONS, _OUT_REGS, _NREGS):  # pragma: no cover
+    raise AssertionError("optimized sbox failed exhaustive self-check")

@@ -35,16 +35,15 @@ def _fused(key, off, b_rows, coeffs, P, lane_w=128):
     return dg.carry_fold(dg.combine_shift_planes(planes))
 
 
-@pytest.mark.parametrize("offset_blocks", [0, 2])
+@pytest.mark.parametrize("off", [0, 32, 40])  # incl. a half-block (lead=8)
 @pytest.mark.parametrize("k", [1, 2])
-def test_fused_matches_scan(offset_blocks, k):
+def test_fused_matches_scan(off, k):
     P = params_mod.custom(d=256, m=8, n=6)
     key = sampling.PRGKey(bytes(range(40)))
     rng = np.random.default_rng(7 + k)
     d = P.d
     b_rows = jnp.asarray(rng.integers(0, 256, size=(d, 88), dtype=np.uint8))
     coeffs = jnp.asarray(rng.integers(0, P.p, size=(k, d), dtype=np.uint32))
-    off = 16 * offset_blocks
 
     want = jax.jit(
         lambda b, c: tlwe.eval_poly_multi(key, off, b, c, P, impl="scan")
@@ -65,4 +64,45 @@ def test_fused_multi_row_chunks():
         lambda b, c: tlwe.eval_poly_multi(key, 0, b, c, P, impl="scan")
     )(b_rows, coeffs)
     got = _fused(key, 0, b_rows, coeffs, P)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# --------------------------------------------------------------------------
+# Fused keystream->encrypt kernel (setup loop) vs the scan path.
+# --------------------------------------------------------------------------
+
+
+def _fused_encrypt(key, off, sk, msgs, errs, P, lane_w=128):
+    from c_lwe_snarks_tpu.ops import digits as dg
+    from c_lwe_snarks_tpu.models.lwe import u32_to_digits
+
+    dot = eval_fused.encrypt_b_fused(
+        key, off, sk, msgs.shape[0], P.n, P.ctr_ct,
+        lane_w=lane_w, interpret=True,
+    )
+    pe_planes = errs.astype(jnp.int32)[None] * jnp.asarray(
+        [P.p & 0xFF, (P.p >> 8) & 0xFF, (P.p >> 16) & 0xFF, P.p >> 24],
+        jnp.int32,
+    ).reshape(4, 1, 1)
+    pe = dg.combine_shift_planes(pe_planes)
+    m = u32_to_digits(msgs).astype(jnp.int32)
+    return dg.carry_fold(dot + pe + m)
+
+
+@pytest.mark.parametrize("count,lead", [(300, 0), (257, 0), (300, 8), (255, 8)])
+def test_fused_encrypt_matches_scan(count, lead):
+    """Half-block section offsets (lead=8: the CTR_BV phase, src/snark.h:8-12),
+    odd counts (dummy pair tail), and multi-row-chunk grids."""
+    P = params_mod.custom(d=256, m=8, n=6)
+    key = sampling.PRGKey(bytes(range(40)))
+    rng = np.random.default_rng(11 + count + lead)
+    sk = jnp.asarray(rng.integers(0, 256, size=(P.n, 88), dtype=np.uint8))
+    msgs = jnp.asarray(rng.integers(0, P.p, size=count, dtype=np.uint32))
+    errs = jnp.asarray(rng.integers(0, 256, size=(count, 88), dtype=np.uint8))
+    off = 3 * 16 + lead
+
+    want = jax.jit(
+        lambda: tlwe.encrypt_section(key, off, sk, msgs, errs, P, impl="scan")
+    )()
+    got = _fused_encrypt(key, off, sk, msgs, errs, P)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -46,7 +46,18 @@ def _native_eval(P, section_offset, b88, coeffs):
     )
 
 
-@pytest.mark.parametrize("d", [512, 1470 * 2])  # deep even d, one non-pow2
+# deep even d, one non-pow2; the d=2940 case regenerates ~400 MB of
+# keystream per side, which the pure-jnp CPU cipher grinds through for
+# the better part of an hour — real hardware (or explicit opt-in) only.
+_DEEP_D = [512] + (
+    [1470 * 2]
+    if os.environ.get("CLS_TEST_PLATFORM", "cpu") != "cpu"
+    or os.environ.get("CLS_BIG_TESTS") == "1"
+    else []
+)
+
+
+@pytest.mark.parametrize("d", _DEEP_D)
 def test_eval_poly_release_n(d):
     """eval_poly at n=1470 (release LWE dimension), deep degree axis."""
     P = params_mod.custom(d=d, m=8)
