@@ -38,16 +38,16 @@ def main() -> None:
 
     # Force a virtual CPU platform when the ambient backend can't supply
     # the requested device count (same workaround as tests/conftest.py).
-    try:
-        if len(jax.devices()) < args.devices:
-            raise RuntimeError
-    except RuntimeError:
-        pass
-    for opt, val in (("jax_platforms", "cpu"), ("jax_num_cpu_devices", args.devices)):
+    # Must happen BEFORE the first jax.devices() call — probing first
+    # would initialize the 1-device ambient backend and lock it in.
+    for opt, val in (
+        ("jax_platforms", "cpu"),
+        ("jax_num_cpu_devices", args.devices),
+    ):
         try:
             jax.config.update(opt, val)
         except RuntimeError:
-            break  # backend already initialized with enough devices
+            break  # backend already initialized; hope it's big enough
 
     import jax.numpy as jnp
     import numpy as np
