@@ -148,11 +148,24 @@ def encrypt(
     return jnp.concatenate([a, b[:, None, :]], axis=1)
 
 
+def _static_lead(section_offset):
+    """Static lead bytes of an offset: int, or traced (lead, ctr) tuple
+    with a static python-int lead (the sharded layers' form); None when
+    the offset is fully traced (fused kernels need the lead at trace
+    time — it shapes the grid)."""
+    if isinstance(section_offset, int):
+        return section_offset % 16
+    if isinstance(section_offset, tuple) and isinstance(section_offset[0], int):
+        return section_offset[0] % 16
+    return None
+
+
 def _fused_encrypt_ok(section_offset, count: int, params: Params) -> bool:
     """Static eligibility of the fused keystream->encrypt Pallas kernel."""
+    lead = _static_lead(section_offset)
     return (
-        isinstance(section_offset, int)
-        and section_offset % 8 == 0
+        lead is not None
+        and lead % 8 == 0
         and params.n % 2 == 0
         and count >= 512  # below this the scan path amortizes better
     )
@@ -177,7 +190,7 @@ def encrypt_section_fused(
     from ..ops import eval_fused
 
     dot = eval_fused.encrypt_b_fused(
-        key, int(section_offset), sk, msgs.shape[0], params.n, params.ctr_ct,
+        key, section_offset, sk, msgs.shape[0], params.n, params.ctr_ct,
         lane_w=lane_w, interpret=interpret,
     )  # int32 [B, 88] planes of <sk, a>
     pe_planes = errs.astype(jnp.int32)[None] * jnp.asarray(
@@ -216,7 +229,7 @@ def encrypt_section(
         and _fused_encrypt_ok(section_offset, total, params)
     ):
         return encrypt_section_fused(
-            key, int(section_offset), sk, msgs, errs, params
+            key, section_offset, sk, msgs, errs, params
         )
     if tile is None:
         tile = min(total, 256)
@@ -370,8 +383,9 @@ def eval_poly_multi_acc(
 
 def _fused_eval_ok(section_offset, d: int, params: Params, lane_w: int) -> bool:
     """Static eligibility of the fused Pallas MAC kernel (ops/eval_fused)."""
+    lead = _static_lead(section_offset)
     return (
-        isinstance(section_offset, (int,)) and section_offset % 8 == 0
+        lead is not None and lead % 8 == 0
         and params.n % 2 == 0
         and d % (2 * lane_w) == 0
         and d > 0
@@ -438,7 +452,7 @@ def eval_poly_multi(
         and _fused_eval_ok(section_offset, coeffs.shape[1], params, 512)
     ):
         return eval_poly_multi_fused(
-            key, int(section_offset), b_rows, coeffs, params
+            key, section_offset, b_rows, coeffs, params
         )
     # Arbitrary degree counts (FLINT takes any d): zero-pad to the tile
     # grid.  Padded terms multiply their (past-section) keystream rows by

@@ -146,6 +146,27 @@ def _aes_pair_tile(
     return jnp.stack(words, axis=1).reshape(128, lane_w)  # row = 4b+g
 
 
+def _offset_lead_start(section_offset):
+    """Static int or traced (lead, (ctr_lo, ctr_hi)) -> (lead, SMEM start).
+
+    The traced form carries the ALIGNED base block counter (the counter of
+    byte offset - lead, matching sampling.split_offset's decomposition);
+    lead must be a static python int either way (it shapes the kernel).
+    """
+    if isinstance(section_offset, tuple):
+        lead, (lo, hi) = section_offset
+        lead = int(lead)
+        start = jnp.stack(
+            [jnp.asarray(lo, jnp.uint32), jnp.asarray(hi, jnp.uint32)]
+        )
+    else:
+        lead = int(section_offset) % 16
+        base = (int(section_offset) - lead) // 16
+        start = jnp.asarray([base & 0xFFFFFFFF, base >> 32], jnp.uint32)
+    assert lead % 8 == 0, section_offset
+    return lead, start
+
+
 def _mac_kernel(
     start_ref,      # SMEM uint32 [2]: section base block counter (lo, hi)
     rk_ref,         # VMEM uint32 [15, 8, 16, 1]
@@ -228,15 +249,11 @@ def eval_mac_planes(
     k, d = coeffs.shape
     assert n % 2 == 0 and ctr_ct == 92 * n
     assert d % (2 * lane_w) == 0, (d, lane_w)
-    lead = section_offset % 16
-    assert lead % 8 == 0, section_offset
+    lead, start = _offset_lead_start(section_offset)
     stride = ctr_ct // 8  # blocks per ciphertext pair
     n_chunks_c = -(-(16 * stride + lead) // 512)
     n_chunks_r = (d // 2) // lane_w
     planes4k = 4 * k
-
-    base = (section_offset - lead) // 16
-    start = jnp.asarray([base & 0xFFFFFFFF, base >> 32], jnp.uint32)
 
     # coefficient bytes: [d, 4] LE -> even/odd pair rows side by side,
     # recentred to int8 for the MXU (corrections need the column sums).
@@ -408,17 +425,13 @@ def encrypt_b_fused(
     the release n — src/snark.h:8-12).
     """
     assert n % 2 == 0 and ctr_ct == 92 * n and (2 * ctr_ct) % 16 == 0
-    lead = section_offset % 16
-    assert lead % 8 == 0, section_offset
+    lead, start = _offset_lead_start(section_offset)
     pairs = -(-count // 2)
     n_chunks_r = -(-pairs // lane_w)
     pairs_pad = n_chunks_r * lane_w
     total = lead + 2 * ctr_ct  # per-pair column window (lead bytes dead)
     n_chunks_c = -(-total // 512)
     stride = 2 * ctr_ct // 16  # pair-to-pair block stride (lead-independent)
-
-    base = (section_offset - lead) // 16
-    start = jnp.asarray([base & 0xFFFFFFFF, base >> 32], jnp.uint32)
     wblocks, cs_lo, cs_hi = _sk_band_blocks(sk, lead, ctr_ct)
 
     out = pl.pallas_call(

@@ -96,14 +96,18 @@ def encrypt_section_sharded(
     """
     axis, nshards = _mesh_axis(mesh)
     total = msgs.shape[0]
-    chunk = -(-total // nshards)
+    # Even per-shard chunks keep every shard's block phase equal to the
+    # section's (chunk * CTR_CT ≡ 0 mod 16), so the lead is one static
+    # int and the fused Pallas kernel is eligible inside the shard.
+    chunk = -(-(-(-total // nshards)) // 2) * 2
     padded = chunk * nshards
+    lead = section_offset % 16
     offs = _chunk_parts(section_offset, params.ctr_ct, chunk, nshards)
     msgs_p = _pad_to(msgs, padded)
     errs_p = _pad_to(errs, padded)
 
     def shard_fn(offs_l, msgs_l, errs_l, sk_l):
-        off = sampling.parts_to_offset(offs_l[0])
+        off = (lead, (offs_l[0][1], offs_l[0][2]))
         return tlwe.encrypt_section(
             key, off, sk_l, msgs_l, errs_l, params, tile=tile
         )
@@ -143,7 +147,19 @@ def eval_poly_multi_sharded(
     # mod 16 at n=1470); keep per-shard chunks even so every shard's tile
     # loop starts on a whole-block boundary.
     chunk = -(-chunk // 2) * 2
-    if tile is not None:
+    lead = section_offset % 16
+    # On a Pallas backend, round the chunk up to the fused MAC kernel's
+    # 2*lane_w grid so every shard runs the single-kernel path (zero
+    # coefficients pad exactly); otherwise mirror the scan tiling.
+    use_fused = (
+        sampling._default_backend() == "pallas"
+        and lead % 8 == 0
+        and params.n % 2 == 0
+        and chunk >= 512
+    )
+    if use_fused:
+        chunk = -(-chunk // 1024) * 1024
+    elif tile is not None:
         chunk = -(-chunk // tile) * tile
     elif chunk > 256:
         # eval_poly_multi_acc defaults to tile=256 and requires the chunk
@@ -157,16 +173,21 @@ def eval_poly_multi_sharded(
     b_p = _pad_to(b_rows[:, : dg.DIGITS], padded)
 
     def shard_fn(offs_l, b_l, c_l):
-        off = sampling.parts_to_offset(offs_l[0])
-        acc = tlwe.eval_poly_multi_acc(
-            key, off, b_l, c_l, params, tile=tile, axis_name=axis
-        )
-        # Normalize the shard partial to digits (<= 255 per position)
-        # before the reduction: mod-2^704 truncation is a ring hom, so
-        # summing normalized per-shard values mod 2^704 equals the total,
-        # and the psum'd positions stay < 256 * nshards — no int32
-        # overflow at any realistic shard count.
-        part = dg.carry_fold(acc).astype(jnp.int32)
+        off = (lead, (offs_l[0][1], offs_l[0][2]))
+        if use_fused:
+            part = tlwe.eval_poly_multi_fused(
+                key, off, b_l, c_l, params
+            ).astype(jnp.int32)
+        else:
+            acc = tlwe.eval_poly_multi_acc(
+                key, off, b_l, c_l, params, tile=tile, axis_name=axis
+            )
+            # Normalize the shard partial to digits (<= 255 per position)
+            # before the reduction: mod-2^704 truncation is a ring hom,
+            # so summing normalized per-shard values mod 2^704 equals the
+            # total, and the psum'd positions stay < 256 * nshards — no
+            # int32 overflow at any realistic shard count.
+            part = dg.carry_fold(acc).astype(jnp.int32)
         return dg.carry_fold(jax.lax.psum(part, axis))
 
     return shard_map(
