@@ -105,3 +105,45 @@ def probe_proof(
         "b_w": dec[4],
         "pke_h": modp.mulmod_p(vrs.alpha, dec[0]) == dec[1],
     }
+
+
+def probe_crs_range(
+    crs: tsnark.CRSDev,
+    vrs: tsnark.VRSDev,
+    params: Params,
+    *,
+    lo: int = 0,
+    count: int | None = None,
+) -> dict:
+    """Batched in-pipeline CRS invariant check over a contiguous range.
+
+    The 3-point probe_crs mirrors the reference's spot checks
+    (src/test_snark.c:40-70); this is the scalable form: ONE ct_import +
+    decrypt batch per section covers ``count`` consecutive terms
+    [lo, lo+count), then the invariants vectorize —
+    Dec(as[i]) == alpha * Dec(s[i]) for every probed i, and the
+    geometric chain Dec(s[i+1]) == s * Dec(s[i]).  All device-side; no
+    per-index host loop, so it can run over the whole CRS if asked.
+    """
+    if count is None:
+        count = min(params.d - lo, 256)
+    key = sampling.PRGKey(crs.seed)
+    rows_s = tlwe.pad_digits(crs.b_s[lo : lo + count])
+    rows_as = tlwe.pad_digits(crs.b_as[lo : lo + count])
+    dec_s = probe_compressed(
+        key, params.ctr_s + lo * params.ctr_ct, rows_s, vrs.sk, params
+    )
+    dec_as = probe_compressed(
+        key, params.ctr_as + lo * params.ctr_ct, rows_as, vrs.sk, params
+    )
+    chain = modp.mulmod_p(vrs.s, dec_s[:-1]) == dec_s[1:]
+    out = {
+        "alpha_correlated_all": jnp.all(
+            modp.mulmod_p(vrs.alpha, dec_s) == dec_as
+        ),
+        "s_chain_all": jnp.all(chain),
+    }
+    if lo == 0:
+        out["s0_is_one"] = dec_s[0] == jnp.uint32(1)
+        out["as0_is_alpha"] = dec_as[0] == vrs.alpha
+    return out

@@ -91,6 +91,18 @@ def test_decrypt_probes(protocol_run):
     assert bool(pchecks["pke_h"])
 
 
+def test_decrypt_probe_range(protocol_run):
+    """Batched range probe: one import/decrypt batch covers the section."""
+    _, _, crs, vrs, _ = protocol_run
+    checks = jax.jit(
+        lambda c, v: obs.probe_crs_range(c, v, P, lo=0, count=P.d)
+    )(crs, vrs)
+    assert all(bool(v) for v in checks.values()), checks
+    # probing an interior window keeps the chain/correlation invariants
+    inner = obs.probe_crs_range(crs, vrs, P, lo=3, count=P.d - 3)
+    assert all(bool(v) for v in inner.values()), inner
+
+
 def test_ssp_stream_matches_blob(protocol_run, tmp_path):
     """ssp_write_stream/ssp_read_stream == the whole-blob formats."""
     _, inst, _, _, _ = protocol_run
