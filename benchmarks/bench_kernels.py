@@ -91,6 +91,46 @@ def main() -> None:
     print(f"eval fused : {t_ev:.3f}s  -> {2 * d / t_ev:.0f} terms/s "
           f"(k={k} fused; keystream {total_bytes/t_ev/1e9:.2f} GB/s effective)")
 
+    # 5. the fused encrypt kernel (setup's hot path, src/snark.c:75-110):
+    #    first the bare <sk, a> Pallas kernel, then the full
+    #    encrypt_section (kernel + p*e + m epilogue + carry fold) — the
+    #    difference is the XLA epilogue cost the kernel can't see.
+    sk = jnp.asarray(rng.integers(0, 256, size=(n, 88), dtype=np.uint8))
+    msgs = jnp.asarray(rng.integers(0, P.p, size=d, dtype=np.uint32))
+    errs = jnp.asarray(rng.integers(0, 256, size=(d, 88), dtype=np.uint8))
+    from c_lwe_snarks_tpu.ops import eval_fused
+
+    if sampling._default_backend() == "pallas":
+        dot_fn = jax.jit(
+            lambda: eval_fused.encrypt_b_fused(key, 0, sk, d, n, P.ctr_ct)
+        )
+        t_dot = _time(lambda: dot_fn(), reps=args.reps)
+        print(f"enc kernel : {t_dot:.3f}s  -> {d / t_dot:.0f} enc/s "
+              f"(keystream {total_bytes/t_dot/1e9:.2f} GB/s effective)")
+    enc_fn = jax.jit(
+        lambda m, e: tlwe.encrypt_section(key, 0, sk, m, e, P)
+    )
+    t_enc = _time(enc_fn, msgs, errs, reps=args.reps)
+    print(f"enc full   : {t_enc:.3f}s  -> {d / t_enc:.0f} enc/s "
+          f"(keystream {total_bytes/t_enc/1e9:.2f} GB/s effective)")
+
+    # 6. the prover's CRT-NTT stage: h = (v^2 - 1) / t at degree d
+    #    (src/snark.c:166-169; the only prover stage not keystream-bound).
+    from c_lwe_snarks_tpu.ops import ntt
+
+    tpoly = jnp.asarray(rng.integers(0, P.p, size=d, dtype=np.uint32))
+    vpoly = jnp.asarray(rng.integers(0, P.p, size=d, dtype=np.uint32))
+
+    def h_stage(v, t):
+        v_sq = ntt.poly_mul_mod_p(v, v)
+        from c_lwe_snarks_tpu.ops import modp
+        num = v_sq.at[0].set(modp.submod_p(v_sq[0], jnp.uint32(1)))
+        return ntt.poly_div_exact_mod_p(num, t, d)
+
+    ntt_fn = jax.jit(h_stage)
+    t_ntt = _time(ntt_fn, vpoly, tpoly, reps=args.reps)
+    print(f"ntt h-stage: {t_ntt:.3f}s  (v^2 mul + exact div, deg {d})")
+
 
 if __name__ == "__main__":
     main()

@@ -32,22 +32,42 @@ def main() -> None:
     ap.add_argument("--d", type=int, default=1024)
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--virtual-cpu", action="store_true",
+        help="force the sweep onto virtual CPU devices without probing",
+    )
     args = ap.parse_args()
+
+    # Fall back to a virtual CPU platform only when the ambient backend
+    # can't supply the requested device count (on a real pod slice the
+    # sweep must stay on TPU so the fused Pallas paths are measured).
+    # Probing jax.devices() in-process would initialize and lock in the
+    # ambient backend before we could override it, so probe in a child.
+    import subprocess
+
+    force_cpu = args.virtual_cpu
+    if not force_cpu:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend(), len(jax.devices()))"],
+            capture_output=True, text=True, timeout=120,
+        )
+        out = probe.stdout.strip().split()
+        ambient = (out[0], int(out[1])) if len(out) == 2 else ("cpu", 0)
+        print(f"[scaling] ambient backend: {ambient}", file=sys.stderr)
+        force_cpu = ambient[0] == "cpu" or ambient[1] < args.devices
 
     import jax
 
-    # Force a virtual CPU platform when the ambient backend can't supply
-    # the requested device count (same workaround as tests/conftest.py).
-    # Must happen BEFORE the first jax.devices() call — probing first
-    # would initialize the 1-device ambient backend and lock it in.
-    for opt, val in (
-        ("jax_platforms", "cpu"),
-        ("jax_num_cpu_devices", args.devices),
-    ):
-        try:
-            jax.config.update(opt, val)
-        except RuntimeError:
-            break  # backend already initialized; hope it's big enough
+    if force_cpu:
+        for opt, val in (
+            ("jax_platforms", "cpu"),
+            ("jax_num_cpu_devices", args.devices),
+        ):
+            try:
+                jax.config.update(opt, val)
+            except RuntimeError:
+                break  # backend already initialized; hope it's big enough
 
     import jax.numpy as jnp
     import numpy as np

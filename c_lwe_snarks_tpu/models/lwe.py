@@ -168,6 +168,10 @@ def _fused_encrypt_ok(section_offset, count: int, params: Params) -> bool:
         and lead % 8 == 0
         and params.n % 2 == 0
         and count >= 512  # below this the scan path amortizes better
+        # int32 safety: the kernel's unfolded accumulator columns reach
+        # n*88*255*15 (+ the 16*hi_f fold headroom, < 2^26); oversized n
+        # must take the scan path, which folds per tile.
+        and params.n * 88 * 255 * 15 + (1 << 26) < 2**31
     )
 
 
@@ -181,17 +185,20 @@ def encrypt_section_fused(
     *,
     lane_w: int = 512,
     interpret: bool = False,
+    vma=None,
 ) -> jnp.ndarray:
     """encrypt_section on the fused keystream->encrypt Pallas kernel.
 
     Bit-identical to the scan path (tests/test_eval_fused.py); the
     a-slab keystream never leaves VMEM (ops/eval_fused.py:_enc_kernel).
+    ``vma``: mesh axes the output varies over when called under
+    shard_map (parallel/mesh.py).
     """
     from ..ops import eval_fused
 
     dot = eval_fused.encrypt_b_fused(
         key, section_offset, sk, msgs.shape[0], params.n, params.ctr_ct,
-        lane_w=lane_w, interpret=interpret,
+        lane_w=lane_w, interpret=interpret, vma=vma,
     )  # int32 [B, 88] planes of <sk, a>
     pe_planes = errs.astype(jnp.int32)[None] * jnp.asarray(
         [params.p & 0xFF, (params.p >> 8) & 0xFF,
@@ -213,6 +220,9 @@ def encrypt_section(
     *,
     tile: int | None = None,
     impl: str = "auto",
+    lane_w: int = 512,
+    interpret: bool = False,
+    vma=None,
 ) -> jnp.ndarray:
     """Compressed b-rows [B, 88] for B sequential encryptions.
 
@@ -221,6 +231,8 @@ def encrypt_section(
     sequential mpz walk.  ``impl``: "fused" forces the single-kernel
     Pallas path (ops/eval_fused.py:_enc_kernel), "scan" the two-stage
     lax.scan path, "auto" picks fused on TPU whenever shape/offset allow.
+    ``lane_w``/``interpret`` configure the fused kernel (interpret-mode
+    CI coverage off-TPU uses a small lane_w).
     """
     total = msgs.shape[0]
     if impl == "fused" or (
@@ -229,7 +241,8 @@ def encrypt_section(
         and _fused_encrypt_ok(section_offset, total, params)
     ):
         return encrypt_section_fused(
-            key, section_offset, sk, msgs, errs, params
+            key, section_offset, sk, msgs, errs, params,
+            lane_w=lane_w, interpret=interpret, vma=vma,
         )
     if tile is None:
         tile = min(total, 256)
@@ -389,6 +402,9 @@ def _fused_eval_ok(section_offset, d: int, params: Params, lane_w: int) -> bool:
         and params.n % 2 == 0
         and d % (2 * lane_w) == 0
         and d > 0
+        # int32 safety: MAC plane entries reach d * 255^2 (eval_fused);
+        # larger degrees take the scan path, which folds per tile.
+        and d * 255 * 255 < 2**31
     )
 
 
@@ -401,12 +417,14 @@ def eval_poly_multi_fused(
     *,
     lane_w: int = 512,
     interpret: bool = False,
+    vma=None,
 ) -> jnp.ndarray:
     """eval_poly_multi on the fused keystream->MAC Pallas kernel.
 
     Bit-identical to the scan path (tests/test_eval_fused.py); the
     keystream never leaves VMEM, so throughput tracks the AES kernel's
     instead of losing ~45% to HBM round-trips (ops/eval_fused.py).
+    ``vma``: mesh axes the output varies over under shard_map.
     """
     from ..ops import eval_fused
 
@@ -414,7 +432,7 @@ def eval_poly_multi_fused(
     n = params.n
     acc_a = eval_fused.eval_mac_planes(
         key, section_offset, coeffs, n, params.ctr_ct,
-        lane_w=lane_w, interpret=interpret,
+        lane_w=lane_w, interpret=interpret, vma=vma,
     )  # [4, k, n, 88]
     cb = u32_to_bytes(coeffs)  # [k, d, 4]
     acc_b = dg.u8_matmul(
@@ -433,6 +451,8 @@ def eval_poly_multi(
     *,
     tile: int | None = None,
     impl: str = "auto",
+    lane_w: int = 512,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """k homomorphic polynomial evaluations sharing one keystream pass.
 
@@ -444,15 +464,17 @@ def eval_poly_multi(
     k-way batching + tile-wise keystream regeneration (never holding the
     expanded [d, n, 88] slab) is the TPU redesign.  ``impl``: "fused"
     forces the single-kernel Pallas path, "scan" the two-stage path,
-    "auto" picks fused on TPU whenever the shape/offset allow it.
+    "auto" picks fused on TPU whenever the shape/offset allow it;
+    ``lane_w``/``interpret`` configure the fused kernel.
     """
     if impl == "fused" or (
         impl == "auto"
         and sampling._default_backend() == "pallas"
-        and _fused_eval_ok(section_offset, coeffs.shape[1], params, 512)
+        and _fused_eval_ok(section_offset, coeffs.shape[1], params, lane_w)
     ):
         return eval_poly_multi_fused(
-            key, section_offset, b_rows, coeffs, params
+            key, section_offset, b_rows, coeffs, params,
+            lane_w=lane_w, interpret=interpret,
         )
     # Arbitrary degree counts (FLINT takes any d): zero-pad to the tile
     # grid.  Padded terms multiply their (past-section) keystream rows by

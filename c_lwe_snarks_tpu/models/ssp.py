@@ -48,9 +48,22 @@ def entropy_bytes_random_ssp(params: Params) -> int:
 
 
 def witness_bits(w_bytes: jnp.ndarray, m: int) -> jnp.ndarray:
-    """uint8 [ceil(m/8)] LE bytes -> uint8 bit vector [m] (LSB first)."""
+    """uint8 [m//8] LE bytes -> uint8 bit vector [m] (LSB first).
+
+    The draw is floor(m/8) bytes (urandomb's floor-byte discipline,
+    src/entropy.c:11-26), so the top m % 8 witness bits are ZERO by
+    definition — at the release m=21845 that is bits 21840-21844.  The
+    gather index is clamped and the tail masked explicitly: XLA clamps
+    out-of-bounds gathers, which would otherwise silently duplicate the
+    last byte's bits for those positions (oracle/TPU divergence).
+    """
+    nbytes = w_bytes.shape[0]
+    if nbytes == 0:
+        return jnp.zeros((m,), jnp.uint8)
     k = jnp.arange(m)
-    return (w_bytes[k // 8] >> (k % 8).astype(jnp.uint8)) & 1
+    bits = (w_bytes[jnp.minimum(k // 8, nbytes - 1)]
+            >> (k % 8).astype(jnp.uint8)) & 1
+    return jnp.where(k < 8 * nbytes, bits, jnp.uint8(0))
 
 
 def gen_v_scan(

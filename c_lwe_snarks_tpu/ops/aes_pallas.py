@@ -27,7 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..oracle import aes as host_aes
 from .aes_tpu import _xtime_bits
-from .sbox_opt import sbox_bits_opt as _sbox_bits
+# Folded BP S-box: computes S(x) ^ 0x63 in 115 XOR/AND gates; the 0x63
+# constant is cancelled by the folded round keys from make_key_pallas.
+from .sbox_bp import sbox_bits_bp as _sbox_bits
 
 _FULL32 = np.uint32(0xFFFFFFFF)
 from .bitslice import transpose32
@@ -264,6 +266,17 @@ def make_key_pallas(seed: bytes) -> dict:
             rk[:, k, q, 0] = ((rks[:, byte] >> k) & 1).astype(np.uint32) * 0xFFFFFFFF
             if byte < 8:
                 const[k, q] = np.uint32(int((nonce_bytes[byte] >> k) & 1) * 0xFFFFFFFF)
+    # Fold the S-box affine constant 0x63 into round keys 1..14: the
+    # kernels use the constant-free BP S-box (sbox_bp, S(x) ^ 0x63), and
+    # the uniform 0x63 error state is invariant under ShiftRows (byte
+    # permutation) and MixColumns (column weights 2^3^1^1 = 1), so one
+    # plane flip per affected bit cancels it exactly — every NOT gate of
+    # the S-box circuit moves into this free key-schedule XOR.
+    from .sbox_bp import AFFINE_CONST
+
+    for k in range(8):
+        if (AFFINE_CONST >> k) & 1:
+            rk[1:, k, :, 0] ^= np.uint32(0xFFFFFFFF)
     return {
         "rk_rm": jnp.asarray(rk),
         "const_rm": jnp.asarray(const),

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import digits as dg
 from .aes_pallas import _ROW_OF_BYTE, _mix_columns_rm, _shift_rows_rm, _v2_meta_np
-from .sbox_opt import sbox_bits_opt as _sbox_bits
+from .sbox_bp import sbox_bits_bp as _sbox_bits  # folded: needs folded rks
 from .bitslice import transpose32
 
 _FULL32 = np.uint32(0xFFFFFFFF)
@@ -146,6 +146,17 @@ def _aes_pair_tile(
     return jnp.stack(words, axis=1).reshape(128, lane_w)  # row = 4b+g
 
 
+def _out_struct(shape, dtype, vma):
+    """ShapeDtypeStruct for a pallas_call output, with mesh-varying axes.
+
+    Under shard_map (parallel/mesh.py) jax's vma checking requires the
+    kernel's out_shape to declare which mesh axes the output varies over;
+    outside shard_map vma must stay unset."""
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+
+
 def _offset_lead_start(section_offset):
     """Static int or traced (lead, (ctr_lo, ctr_hi)) -> (lead, SMEM start).
 
@@ -233,6 +244,7 @@ def eval_mac_planes(
     *,
     lane_w: int = 512,
     interpret: bool = False,
+    vma=None,
 ) -> jnp.ndarray:
     """a-part MAC planes of k fused homomorphic evaluations.
 
@@ -275,9 +287,7 @@ def eval_mac_planes(
             lead=lead,
         ),
         grid=(n_chunks_c, n_chunks_r),  # rows minor: out block stays put
-        out_shape=jax.ShapeDtypeStruct(
-            (n_chunks_c, 4, 128, planes4k), jnp.int32
-        ),
+        out_shape=_out_struct((n_chunks_c, 4, 128, planes4k), jnp.int32, vma),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((15, 8, 16, 1), lambda c, r: (0, 0, 0, 0),
@@ -412,6 +422,7 @@ def encrypt_b_fused(
     *,
     lane_w: int = 512,
     interpret: bool = False,
+    vma=None,
 ) -> jnp.ndarray:
     """<sk, a_i> mod 2^704 for ``count`` sequential section ciphertexts.
 
@@ -437,7 +448,7 @@ def encrypt_b_fused(
     out = pl.pallas_call(
         functools.partial(_enc_kernel, lane_w=lane_w, stride=stride),
         grid=(n_chunks_r, n_chunks_c),  # cols minor: out block stays put
-        out_shape=jax.ShapeDtypeStruct((n_chunks_r, lane_w, 384), jnp.int32),
+        out_shape=_out_struct((n_chunks_r, lane_w, 384), jnp.int32, vma),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((15, 8, 16, 1), lambda r, c: (0, 0, 0, 0),

@@ -75,6 +75,16 @@ def _pad_to(x: jnp.ndarray, total: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
+def _chunk_align(params: Params) -> int:
+    """Smallest even per-shard chunk multiple keeping shard strides
+    AES-block aligned: with chunk * CTR_CT ≡ 0 (mod 16) every shard's
+    intra-block skip equals the section's own (one static lead), so no
+    per-shard traced skip is needed and the fused Pallas kernels stay
+    eligible.  Even n needs chunk % 2 == 0 (92n ≡ 0 mod 8); odd n needs
+    chunk % 4 == 0 (92n ≡ 4 or 12 mod 16)."""
+    return max(2, 16 // math.gcd(params.ctr_ct, 16))
+
+
 def encrypt_section_sharded(
     key: sampling.PRGKey,
     section_offset: int,
@@ -85,6 +95,10 @@ def encrypt_section_sharded(
     mesh: Mesh,
     *,
     tile: int | None = None,
+    impl: str = "auto",
+    lane_w: int = 512,
+    interpret: bool = False,
+    check_vma: bool = True,
 ) -> jnp.ndarray:
     """Compressed b-rows [B, 88], B encryptions sharded over CRS terms.
 
@@ -93,13 +107,20 @@ def encrypt_section_sharded(
     stream position of term i*c by counter arithmetic.  A ragged tail is
     padded with dummy terms on the last shard (they consume keystream
     past the section, whose bytes no real term reads) and dropped.
+    ``impl``/``lane_w``/``interpret`` pass through to the per-shard
+    encrypt_section (interpret-mode CI coverage of the fused path).
     """
     axis, nshards = _mesh_axis(mesh)
     total = msgs.shape[0]
-    # Even per-shard chunks keep every shard's block phase equal to the
-    # section's (chunk * CTR_CT ≡ 0 mod 16), so the lead is one static
-    # int and the fused Pallas kernel is eligible inside the shard.
-    chunk = -(-(-(-total // nshards)) // 2) * 2
+    # Aligned per-shard chunks keep every shard's block phase equal to
+    # the section's (chunk * CTR_CT ≡ 0 mod 16), so the lead is one
+    # static int and the fused Pallas kernel is eligible inside the
+    # shard.  For odd n this needs chunk % 4 == 0, not just even — a
+    # merely-even chunk leaves odd shards 8 bytes off (_chunk_align).
+    align = _chunk_align(params)
+    chunk = -(-total // nshards)
+    chunk = -(-chunk // align) * align
+    assert (chunk * params.ctr_ct) % 16 == 0, (chunk, params.ctr_ct)
     padded = chunk * nshards
     lead = section_offset % 16
     offs = _chunk_parts(section_offset, params.ctr_ct, chunk, nshards)
@@ -109,7 +130,9 @@ def encrypt_section_sharded(
     def shard_fn(offs_l, msgs_l, errs_l, sk_l):
         off = (lead, (offs_l[0][1], offs_l[0][2]))
         return tlwe.encrypt_section(
-            key, off, sk_l, msgs_l, errs_l, params, tile=tile
+            key, off, sk_l, msgs_l, errs_l, params, tile=tile,
+            impl=impl, lane_w=lane_w, interpret=interpret,
+            vma={axis} if check_vma else None,
         )
 
     out = shard_map(
@@ -117,6 +140,7 @@ def encrypt_section_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P()),
         out_specs=P(axis),
+        check_vma=check_vma,
     )(jnp.asarray(offs), msgs_p, errs_p, sk)
     return out[:total]
 
@@ -130,6 +154,10 @@ def eval_poly_multi_sharded(
     mesh: Mesh,
     *,
     tile: int | None = None,
+    impl: str = "auto",
+    lane_w: int = 512,
+    interpret: bool = False,
+    check_vma: bool = True,
 ) -> jnp.ndarray:
     """k fused homomorphic evaluations, degree axis sharded over the mesh.
 
@@ -142,29 +170,34 @@ def eval_poly_multi_sharded(
     """
     axis, nshards = _mesh_axis(mesh)
     k, d = coeffs.shape
+    # Aligned per-shard chunks (chunk * CTR_CT ≡ 0 mod 16) keep every
+    # shard's intra-block skip equal to the section lead — see
+    # _chunk_align; odd n needs chunk % 4 == 0, not just even.
+    align = _chunk_align(params)
     chunk = -(-d // nshards)
-    # An odd ciphertext count is not AES-block aligned (CTR_CT = 92n ≡ 8
-    # mod 16 at n=1470); keep per-shard chunks even so every shard's tile
-    # loop starts on a whole-block boundary.
-    chunk = -(-chunk // 2) * 2
+    chunk = -(-chunk // align) * align
     lead = section_offset % 16
     # On a Pallas backend, round the chunk up to the fused MAC kernel's
     # 2*lane_w grid so every shard runs the single-kernel path (zero
     # coefficients pad exactly); otherwise mirror the scan tiling.
-    use_fused = (
-        sampling._default_backend() == "pallas"
+    use_fused = impl == "fused" or (
+        impl == "auto"
+        and sampling._default_backend() == "pallas"
         and lead % 8 == 0
         and params.n % 2 == 0
         and chunk >= 512
+        # int32 bound of the fused kernel's MAC planes (per-shard degree)
+        and (-(-chunk // (2 * lane_w)) * 2 * lane_w) * 255 * 255 < 2**31
     )
     if use_fused:
-        chunk = -(-chunk // 1024) * 1024
+        chunk = -(-chunk // (2 * lane_w)) * 2 * lane_w
     elif tile is not None:
         chunk = -(-chunk // tile) * tile
     elif chunk > 256:
         # eval_poly_multi_acc defaults to tile=256 and requires the chunk
         # to divide evenly; mirror the explicit-tile branch.
         chunk = -(-chunk // 256) * 256
+    assert (chunk * params.ctr_ct) % 16 == 0, (chunk, params.ctr_ct)
     padded = chunk * nshards
     offs = _chunk_parts(section_offset, params.ctr_ct, chunk, nshards)
     # Padding coefficients with zeros adds exact zeros to the MAC (the
@@ -176,7 +209,9 @@ def eval_poly_multi_sharded(
         off = (lead, (offs_l[0][1], offs_l[0][2]))
         if use_fused:
             part = tlwe.eval_poly_multi_fused(
-                key, off, b_l, c_l, params
+                key, off, b_l, c_l, params,
+                lane_w=lane_w, interpret=interpret,
+                vma={axis} if check_vma else None,
             ).astype(jnp.int32)
         else:
             acc = tlwe.eval_poly_multi_acc(
@@ -195,6 +230,7 @@ def eval_poly_multi_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(None, axis)),
         out_specs=P(),
+        check_vma=check_vma,
     )(jnp.asarray(offs), b_p, coeffs_p)
 
 

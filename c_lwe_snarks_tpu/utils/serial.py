@@ -216,6 +216,37 @@ def crs_row_table(path: str, params: Params) -> tuple[bytes, np.ndarray]:
     return seed, rows
 
 
+def crs_local_section_rows(
+    crs: tsnark.CRSDev, params: Params
+) -> dict[str, tuple[int, np.ndarray]]:
+    """Per-section CRS rows owned by THIS process, stored 92-byte form.
+
+    The write half of multihost CRS IO (the read half is
+    ``crs_local_slice``): under a multi-controller launch each section is
+    1-D row-sharded, so a process's addressable shards are contiguous
+    rows in device order — each host writes only its own rows and the
+    stitched file equals ``crs_to_bytes`` (tests/test_multiprocess.py).
+    Returns {"s"|"as"|"v": (row_start, uint8 [rows, 92]), "t": (0, [1, 92])}
+    ("t" is replicated; callers pick one writer).
+    """
+    out: dict[str, tuple[int, np.ndarray]] = {}
+    for name, arr in (("s", crs.b_s), ("as", crs.b_as), ("v", crs.b_v)):
+        by_start: dict[int, np.ndarray] = {}
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in by_start:  # replicated shards duplicate rows
+                by_start[start] = np.asarray(s.data, dtype=np.uint8)
+        starts = sorted(by_start)
+        row_start, expect = starts[0], starts[0]
+        for st in starts:
+            assert st == expect, (name, starts)  # contiguous in device order
+            expect += by_start[st].shape[0]
+        rows = np.concatenate([by_start[st] for st in starts])
+        out[name] = (row_start, _rows92(jnp.asarray(rows), params))
+    out["t"] = (0, _rows92(crs.b_t[None], params))
+    return out
+
+
 def crs_local_slice(
     path: str, params: Params
 ) -> tuple[bytes, int, np.ndarray]:

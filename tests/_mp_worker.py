@@ -7,9 +7,11 @@ owns 2 virtual CPU devices; the script initializes jax.distributed FIRST
 catch), builds the global mesh, runs the full sharded pipeline
 (random_ssp -> setup -> prover -> verifier) and writes:
 
-* ``b_s_slice_<pid>.npy`` — this host's contiguous rows of the CRS b_s
-  section, read from its addressable shards (exercises the
-  local_shard_bounds IO contract);
+* ``crs_rows_<pid>.npz`` — this host's contiguous rows of each CRS
+  section (serial.crs_local_section_rows, the write half of multihost
+  CRS IO), stitched by process 0 into ``crs.bin``;
+* ``crs_local_slice_<pid>.npy`` — this host's row range of the stitched
+  file read back through serial.crs_local_slice (the read half);
 * ``proof.bin`` + ``verified.txt`` (process 0 only; the proof is
   replicated, so any process could write it).
 
@@ -71,13 +73,44 @@ def main() -> None:
     crs, pi, ok = run()
     jax.block_until_ready(ok)
 
-    # Host-local slice of the sharded b_s rows, in device order — the
-    # multihost IO pattern (each host writes only its addressable chunk).
-    lo, hi = multihost.local_shard_bounds(P.d)
-    shards = sorted(crs.b_s.addressable_shards, key=lambda s: s.index[0].start)
-    local = np.concatenate([np.asarray(s.data) for s in shards])
-    assert local.shape[0] == hi - lo, (local.shape, lo, hi)
-    np.save(os.path.join(outdir, f"b_s_slice_{proc_id}.npy"), local)
+    # -- write half of multihost CRS IO: each process persists only its
+    # addressable section rows (serial.crs_local_section_rows), and the
+    # stitched file must equal the single-process crs_to_bytes.
+    secs = serial.crs_local_section_rows(crs, P)
+    np.savez(
+        os.path.join(outdir, f"crs_rows_{proc_id}.npz"),
+        **{f"{k}_start": np.int64(v[0]) for k, v in secs.items()},
+        **{f"{k}_rows": v[1] for k, v in secs.items()},
+    )
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("crs_slices_written")
+    crs_path = os.path.join(outdir, "crs.bin")
+    if proc_id == 0:
+        # stitch seed || s || as || t || v from every host's slice file
+        parts: dict = {k: {} for k in ("s", "as", "v")}
+        for pid in range(nproc):
+            z = np.load(os.path.join(outdir, f"crs_rows_{pid}.npz"))
+            for k in parts:
+                parts[k][int(z[f"{k}_start"])] = z[f"{k}_rows"]
+        with open(crs_path, "wb") as f:
+            f.write(bytes(crs.seed))
+            for k in ("s", "as"):
+                for start in sorted(parts[k]):
+                    f.write(parts[k][start].tobytes())
+            f.write(secs["t"][1].tobytes())
+            for start in sorted(parts["v"]):
+                f.write(parts["v"][start].tobytes())
+    multihost_utils.sync_global_devices("crs_file_stitched")
+
+    # -- read half: host-sliced memmap load (serial.crs_local_slice) under
+    # a live multi-process run — the path a real deployment loads with.
+    seed, lo_r, rows = serial.crs_local_slice(crs_path, P)
+    assert seed == bytes(crs.seed)
+    exp_lo, exp_hi = multihost.local_shard_bounds(P.crs_num_cts)
+    assert (lo_r, lo_r + rows.shape[0]) == (exp_lo, exp_hi), (lo_r, rows.shape)
+    np.save(os.path.join(outdir, f"crs_local_slice_{proc_id}.npy"), rows)
 
     if proc_id == 0:
         # the proof and the verdict are replicated on every process

@@ -20,6 +20,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+
+def pytest_configure(config):
+    # Fast/slow split: the full suite stays the default gate; deselect
+    # with -m "not slow" for a <10-min bit-exactness core (the slow set
+    # is release-shape CPU work + the 2-process DCN launch).
+    config.addinivalue_line(
+        "markers",
+        "slow: release-shape / multiprocess tests (deselect with "
+        "-m 'not slow' for the fast bit-exactness gate)",
+    )
+
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 if os.environ["JAX_PLATFORMS"] == "cpu":
     jax.config.update("jax_num_cpu_devices", 8)

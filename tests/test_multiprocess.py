@@ -23,6 +23,8 @@ from c_lwe_snarks_tpu.ops import sampling
 from c_lwe_snarks_tpu.utils import params as params_mod
 from c_lwe_snarks_tpu.utils import serial
 
+pytestmark = pytest.mark.slow  # spawns a 2-process jax.distributed launch
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
 
@@ -83,10 +85,19 @@ def test_two_process_pipeline_matches_single_process(tmp_path):
     with open(tmp_path / "verified.txt") as f:
         assert f.read() == "True"
 
-    # stitched per-host b_s slices == single-process CRS section
-    slices = [np.load(tmp_path / f"b_s_slice_{i}.npy") for i in range(nproc)]
-    stitched = np.concatenate(slices)
-    np.testing.assert_array_equal(stitched, np.asarray(crs.b_s))
+    # write half: the CRS file stitched from per-host section slices must
+    # equal the single-process serialization byte for byte
+    with open(tmp_path / "crs.bin", "rb") as f:
+        assert f.read() == serial.crs_to_bytes(crs, P)
+
+    # read half: the per-host crs_local_slice reads tile the row table
+    table = np.frombuffer(
+        serial.crs_to_bytes(crs, P)[40:], dtype=np.uint8
+    ).reshape(P.crs_num_cts, P.ct_bytes)[:, :88]
+    slices = [
+        np.load(tmp_path / f"crs_local_slice_{i}.npy") for i in range(nproc)
+    ]
+    np.testing.assert_array_equal(np.concatenate(slices), table)
 
     with open(tmp_path / "proof.bin", "rb") as f:
         assert f.read() == serial.proof_to_bytes(pi, P)

