@@ -9,6 +9,11 @@ shapes (d=2^15, n=1470) so the composite wall time can be attributed:
                     pre-materialized digit slabs (+ plane combine/fold).
 * ``eval_fused``  — the real eval_poly_multi (all of the above fused in
                     one scan).
+* ``enc kernel``  — the bare fused keystream->encrypt Pallas kernel
+                    (setup's <sk, a>), then the full encrypt_section;
+                    the difference is the XLA epilogue cost.
+* ``ntt h-stage`` — the prover's replicated CRT-NTT stage:
+                    h = (v^2 - 1) / t at degree d.
 
 Usage: python -m benchmarks.bench_kernels [--d 32768] [--reps 5]
 """

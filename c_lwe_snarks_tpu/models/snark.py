@@ -271,11 +271,12 @@ def prover(
         )[0],
     )
 
-    # v = v_0 + w;  h = (v^2 - 1) / t   (CRT-NTT engine)
+    # v = v_0 + w;  h = (v^2 - 1) / t   (CRT-NTT engine; with a mesh the
+    # large transforms run 4-step sharded over ICI — ops/ntt.py)
     v = modp.addmod_p(ssp.v[0], w)
-    v_sq = ntt.poly_mul_mod_p(v, v)  # [2d-1]
+    v_sq = ntt.poly_mul_mod_p(v, v, mesh=mesh)  # [2d-1]
     num = v_sq.at[0].set(modp.submod_p(v_sq[0], jnp.uint32(1)))
-    h = ntt.poly_div_exact_mod_p(num, ssp.t, d)
+    h = ntt.poly_div_exact_mod_p(num, ssp.t, d, mesh=mesh)
 
     # fused evaluations: (w, h) over the s section, (v, h) over as
     ev_s = eval_multi(

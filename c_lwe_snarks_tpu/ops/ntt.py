@@ -206,6 +206,108 @@ def crt_to_mod_p(r1: jnp.ndarray, r2: jnp.ndarray, r3: jnp.ndarray) -> jnp.ndarr
 
 
 # --------------------------------------------------------------------------
+# Distributed 4-step NTT (Bailey) over a 1-D device mesh.
+#
+# The SNARK's only replicated long-axis stage is the prover's h-poly
+# (src/snark.c:166-169).  Here the transform length N = n1*n2 decomposes
+# into column-DFTs (local: the coefficient matrix is column-sharded),
+# one twiddle scale, ONE all_to_all transpose over ICI, and row-DFTs
+# (local) — the classic 4-step factorization mapped onto shard_map.
+# The pointwise product happens in the row-sharded frequency layout and
+# the inverse mirrors every step, so a full sharded poly_mul moves each
+# residue array across ICI exactly 3 times (fwd a, fwd b, inverse).
+# --------------------------------------------------------------------------
+
+
+@functools.cache
+def _twiddle4(q: int, n1: int, n2: int, inverse: bool) -> np.ndarray:
+    """uint32 [n2, n1] Montgomery-form w_N^{±j2*k1} twiddle table."""
+    ctx = _prime_ctx(q)
+    N = n1 * n2
+    w = pow(ctx.generator, (q - 1) // N, q)
+    if inverse:
+        w = pow(w, q - 2, q)
+    col = np.empty(n2, np.uint64)
+    v = 1
+    for j2 in range(n2):
+        col[j2] = v
+        v = v * w % q
+    T = np.empty((n2, n1), np.uint64)
+    T[:, 0] = 1
+    for k1 in range(1, n1):
+        T[:, k1] = T[:, k1 - 1] * col % q
+    return ((T << 32) % q).astype(np.uint32)  # Montgomery form
+
+
+def _mul4_body(axis: str, n1: int, n2: int, a_cols, b_cols, *tws):
+    """Per-shard body of the sharded poly mul (one CRT residue set).
+
+    a_cols/b_cols: uint32 [n1, n2/P] coefficient column blocks
+    (x[j1*n2 + j2] = A[j1, j2]); tws: per-prime (fwd, inv) twiddle
+    blocks [n2/P, n1].  Returns coefficient column blocks of a*b mod p.
+    """
+    outs = []
+    for qi, q in enumerate(NTT_PRIMES):
+        ctx = _prime_ctx(q)
+        rev1, fwd1, inv1, n1_inv = _tables(q, n1)
+        rev2, fwd2, inv2, n2_inv = _tables(q, n2)
+        tw_f, tw_i = tws[2 * qi], tws[2 * qi + 1]
+
+        def fwd(x_cols):
+            # column DFT_{n1} (local, over j1) -> y[j2_local, k1]
+            y = _ntt_core(ctx.reduce_u32(x_cols).T, q, fwd1, rev1)
+            y = ctx.mont_mul(y, tw_f)  # w_N^{j2*k1}
+            # ICI transpose: column-sharded -> row-sharded
+            y = jax.lax.all_to_all(y, axis, 1, 0, tiled=True)  # [n2, n1/P]
+            # row DFT_{n2} (local, over j2) -> z[k1_local, k2]
+            return _ntt_core(y.T, q, fwd2, rev2)
+
+        prod = ctx.mulmod(fwd(a_cols), fwd(b_cols))
+        # inverse: mirror each step
+        y = _ntt_core(prod, q, inv2, rev2)
+        y = ctx.mont_mul(y, jnp.asarray(n2_inv)[None])
+        y = jax.lax.all_to_all(y.T, axis, 0, 1, tiled=True)  # [n2/P, n1]
+        y = ctx.mont_mul(y, tw_i)  # w_N^{-j2*k1}
+        y = _ntt_core(y, q, inv1, rev1)
+        y = ctx.mont_mul(y, jnp.asarray(n1_inv)[None])
+        outs.append(y.T)  # [n1, n2/P]
+    return crt_to_mod_p(*outs)
+
+
+def _poly_mul_sharded_n(ap: jnp.ndarray, bp: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Sharded full-length product of padded length-n coefficient arrays."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    (axis,) = mesh.axis_names
+    n = ap.shape[-1]
+    logn = n.bit_length() - 1
+    n1 = 1 << (logn - logn // 2)
+    n2 = n // n1
+    tws = []
+    for q in NTT_PRIMES:
+        tws.append(jnp.asarray(_twiddle4(q, n1, n2, False)))
+        tws.append(jnp.asarray(_twiddle4(q, n1, n2, True)))
+    out = shard_map(
+        functools.partial(_mul4_body, axis, n1, n2),
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis)) + (P(axis, None),) * 6,
+        out_specs=P(None, axis),
+    )(ap.reshape(n1, n2), bp.reshape(n1, n2), *tws)
+    return out.reshape(n)
+
+
+def _can_shard_mul(n: int, a, b, mesh, min_n: int) -> bool:
+    if mesh is None or a.ndim != 1 or b.ndim != 1 or n < min_n:
+        return False
+    (axis,) = mesh.axis_names
+    nshards = mesh.shape[axis]
+    logn = n.bit_length() - 1
+    n1 = 1 << (logn - logn // 2)
+    return nshards > 1 and n1 % nshards == 0 and (n // n1) % nshards == 0
+
+
+# --------------------------------------------------------------------------
 # Polynomial multiply / exact divide mod p.
 # --------------------------------------------------------------------------
 
@@ -214,11 +316,20 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def poly_mul_mod_p(a: jnp.ndarray, b: jnp.ndarray, out_len: int | None = None):
+def poly_mul_mod_p(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    out_len: int | None = None,
+    *,
+    mesh=None,
+    min_shard_n: int = 4096,
+):
     """Full product of coefficient arrays mod p.
 
     a: uint32 [..., la], b: uint32 [..., lb] (entries < p, deg = formal).
-    Returns uint32 [..., out_len] (default la+lb-1), truncated.
+    Returns uint32 [..., out_len] (default la+lb-1), truncated.  With
+    ``mesh`` set and the padded length large enough, the transform runs
+    4-step sharded over the mesh (bit-identical; see _mul4_body).
     """
     la, lb = a.shape[-1], b.shape[-1]
     full = la + lb - 1
@@ -229,36 +340,46 @@ def poly_mul_mod_p(a: jnp.ndarray, b: jnp.ndarray, out_len: int | None = None):
     pad_b = [(0, 0)] * (b.ndim - 1) + [(0, n - lb)]
     ap = jnp.pad(a, pad_a)
     bp = jnp.pad(b, pad_b)
-    res = []
-    for q in NTT_PRIMES:
-        ctx = _prime_ctx(q)
-        fa = ntt_forward(ctx.reduce_u32(ap), q)
-        fb = ntt_forward(ctx.reduce_u32(bp), q)
-        prod = ctx.mulmod(fa, fb)
-        res.append(ntt_inverse(prod, q))
-    out = crt_to_mod_p(*res)
+    if _can_shard_mul(n, a, b, mesh, min_shard_n):
+        out = _poly_mul_sharded_n(ap, bp, mesh)
+    else:
+        res = []
+        for q in NTT_PRIMES:
+            ctx = _prime_ctx(q)
+            fa = ntt_forward(ctx.reduce_u32(ap), q)
+            fb = ntt_forward(ctx.reduce_u32(bp), q)
+            prod = ctx.mulmod(fa, fb)
+            res.append(ntt_inverse(prod, q))
+        out = crt_to_mod_p(*res)
     out = out[..., : min(out_len, full)]
     if out_len > full:  # requested window extends past the exact product
         out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, out_len - full)])
     return out
 
 
-def poly_inv_series_mod_p(t: jnp.ndarray, out_len: int) -> jnp.ndarray:
+def poly_inv_series_mod_p(
+    t: jnp.ndarray, out_len: int, *, mesh=None, min_shard_n: int = 4096
+) -> jnp.ndarray:
     """Power-series inverse of t mod x^out_len (t[0] must be invertible).
 
     Newton: S_{2k} = S_k * (2 - t * S_k) mod x^{2k}.  Used for exact
     division (the FLINT nmod_poly_div replacement, src/snark.c:166-169).
+    With ``mesh``, the large Newton levels run on the sharded transform.
     """
     s = modp.invmod_p(t[..., :1])
     k = 1
     while k < out_len:
         k2 = min(2 * k, _next_pow2(out_len))
-        ts = poly_mul_mod_p(t[..., :k2], s, out_len=k2)
+        ts = poly_mul_mod_p(
+            t[..., :k2], s, out_len=k2, mesh=mesh, min_shard_n=min_shard_n
+        )
         # 2 - ts
         two_minus = modp.submod_p(
             jnp.zeros_like(ts).at[..., 0].set(2), ts
         )
-        s = poly_mul_mod_p(s, two_minus, out_len=k2)
+        s = poly_mul_mod_p(
+            s, two_minus, out_len=k2, mesh=mesh, min_shard_n=min_shard_n
+        )
         k = k2
     return s[..., :out_len]
 
@@ -269,7 +390,10 @@ def poly_true_degree(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.where(x != 0, iota, -1), axis=-1)
 
 
-def _div_rev_core(num: jnp.ndarray, den: jnp.ndarray, ql: int) -> jnp.ndarray:
+def _div_rev_core(
+    num: jnp.ndarray, den: jnp.ndarray, ql: int, mesh=None,
+    min_shard_n: int = 4096,
+) -> jnp.ndarray:
     """Reversed-series exact division; den's LAST formal entry nonzero.
 
     Valid whenever num = den * q exactly with deg q < ql: the formal
@@ -278,8 +402,10 @@ def _div_rev_core(num: jnp.ndarray, den: jnp.ndarray, ql: int) -> jnp.ndarray:
     """
     nr = jnp.flip(num, axis=-1)
     dr = jnp.flip(den, axis=-1)
-    inv = poly_inv_series_mod_p(dr, ql)
-    qr = poly_mul_mod_p(nr[..., :ql], inv, out_len=ql)
+    inv = poly_inv_series_mod_p(dr, ql, mesh=mesh, min_shard_n=min_shard_n)
+    qr = poly_mul_mod_p(
+        nr[..., :ql], inv, out_len=ql, mesh=mesh, min_shard_n=min_shard_n
+    )
     return jnp.flip(qr, axis=-1)
 
 
@@ -290,7 +416,8 @@ def _fit_len(q: jnp.ndarray, out_len: int) -> jnp.ndarray:
 
 
 def poly_div_exact_mod_p(
-    num: jnp.ndarray, den: jnp.ndarray, quot_len: int
+    num: jnp.ndarray, den: jnp.ndarray, quot_len: int, *, mesh=None,
+    min_shard_n: int = 4096,
 ) -> jnp.ndarray:
     """Exact quotient num / den mod p with FLINT true-degree semantics.
 
@@ -310,7 +437,10 @@ def poly_div_exact_mod_p(
 
     def fast(_):
         # common case (deg den == ld-1): quotient length ln - ld + 1
-        return _fit_len(_div_rev_core(num, den, max(ln - ld + 1, 1)), quot_len)
+        return _fit_len(
+            _div_rev_core(num, den, max(ln - ld + 1, 1), mesh, min_shard_n),
+            quot_len,
+        )
 
     def general(_):
         # num' = x^s num, den' = x^s den: den' has full formal degree.
@@ -319,6 +449,8 @@ def poly_div_exact_mod_p(
         # entries are zeros by construction of s).
         num2 = jnp.roll(jnp.pad(num, (0, ld - 1)), shift)
         den2 = jnp.roll(den, shift)
-        return _fit_len(_div_rev_core(num2, den2, ln), quot_len)
+        return _fit_len(
+            _div_rev_core(num2, den2, ln, mesh, min_shard_n), quot_len
+        )
 
     return jax.lax.cond(shift == 0, fast, general, None)

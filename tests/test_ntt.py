@@ -211,3 +211,42 @@ def test_poly_div_true_degree_quotient_overflows_d():
         )
     )
     assert [int(x) for x in got] == q_int[:d]
+
+
+def test_poly_mul_sharded_matches():
+    """4-step sharded transform == the replicated engine, bit for bit.
+
+    n=256 -> n1=n2=16, both multiples of the 8-device mesh; one
+    all_to_all per transform direction (ntt._mul4_body)."""
+    from c_lwe_snarks_tpu.parallel import mesh as pmesh
+
+    assert len(jax.devices()) >= 8
+    mesh = pmesh.make_mesh(8)
+    a, b = rmodp(128), rmodp(128)
+    want = jax.jit(lambda a, b: ntt.poly_mul_mod_p(a, b))(
+        jnp.asarray(a), jnp.asarray(b))
+    got = jax.jit(
+        lambda a, b: ntt.poly_mul_mod_p(a, b, mesh=mesh, min_shard_n=64)
+    )(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_poly_div_sharded_matches():
+    from c_lwe_snarks_tpu.parallel import mesh as pmesh
+
+    assert len(jax.devices()) >= 8
+    mesh = pmesh.make_mesh(8)
+    den = rmodp(64)
+    den[-1] |= 1  # nonzero top coefficient: the fast path
+    quot = rmodp(65)
+    num = np.asarray(jax.jit(lambda a, b: ntt.poly_mul_mod_p(a, b))(
+        jnp.asarray(den), jnp.asarray(quot)))
+    want = jax.jit(
+        lambda n, d: ntt.poly_div_exact_mod_p(n, d, 65)
+    )(jnp.asarray(num), jnp.asarray(den))
+    got = jax.jit(
+        lambda n, d: ntt.poly_div_exact_mod_p(
+            n, d, 65, mesh=mesh, min_shard_n=64
+        )
+    )(jnp.asarray(num), jnp.asarray(den))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
