@@ -171,14 +171,15 @@ def setup(
     powers = modp.powers_mod_p(s, d)  # [d]: s^i
     msgs_s = powers
     msgs_as = modp.mulmod_p(alpha, powers)
-    # beta * t(s), beta * v_i(s): batched dot with the powers vector
-    t_s = modp.sum_mod_p(modp.mulmod_p(ssp.t, powers))
+    # beta * t(s), beta * v_i(s): one exact int8 MXU matmul over byte
+    # planes (modp.matvec_mod_p) instead of m*d VPU mulmods
+    t_s = modp.matvec_mod_p(ssp.t[None, :], powers)[0]
     if mesh is not None:
         from ..parallel import mesh as pmesh2
 
         v_s = pmesh2.v_at_s_sharded(ssp.v, powers, mesh)  # [m], row-sharded
     else:
-        v_s = modp.sum_mod_p(modp.mulmod_p(ssp.v, powers[None, :]), axis=-1)
+        v_s = modp.matvec_mod_p(ssp.v, powers)
     msg_t = modp.mulmod_p(beta, t_s)[None]
     msgs_v = modp.mulmod_p(beta, v_s[1:])  # i in [1, m)
 

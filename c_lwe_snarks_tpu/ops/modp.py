@@ -125,3 +125,42 @@ def poly_eval_mod_p(coeffs: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     """Evaluate polynomial(s) at scalar s: coeffs [..., d] -> [...]."""
     pw = powers_mod_p(s, coeffs.shape[-1])
     return sum_mod_p(mulmod_p(coeffs, pw))
+
+
+def matvec_mod_p(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """sum_i v[..., r, i] * w[i] mod p — rows of a mod-p matvec.
+
+    v: uint32 [..., m, d]; w: uint32 [d]; entries < p.  For d <= 32768
+    the contraction runs as ONE exact int8 MXU matmul over byte planes
+    (u8_matmul's K*255^2 < 2^31 bound holds exactly at the release
+    d=2^15): C[r, a, b] = sum_i byte_a(v) * byte_b(w) is < 2^31 < p, so
+    the 16 plane sums fold with scalar mulmods by 2^(8(a+b)) mod p.
+    This replaces ~8 VPU ops per (r, i) mulmod with MXU MACs — setup's
+    message schedule (src/snark.c:103-110) is the heavy caller.  Larger
+    d falls back to the VPU mulmod/tree-sum form.
+    """
+    d = v.shape[-1]
+    if d > 32768 or d < 8:
+        return sum_mod_p(mulmod_p(v, w[None, :]), axis=-1)
+    from . import digits as dg
+
+    shifts = jnp.arange(4, dtype=_U) * 8
+    wb = ((w[:, None] >> shifts) & _U(255)).astype(jnp.uint8)  # [d, 4]
+    # One matmul per v byte plane (not one [4m, d] mega-operand: at the
+    # release m x d the byte-plane expansion would be ~3 GB of HBM temp
+    # on top of v itself; per-plane operands let XLA fuse the shift/mask
+    # into the matmul input and cap peak temp at one [m, d] u8 plane).
+    c = [
+        dg.u8_matmul(((v >> _U(8 * a)) & _U(255)).astype(jnp.uint8), wb)
+        .astype(_U)  # int32 [..., m, 4] exact, entries < 2^31 < p
+        for a in range(4)
+    ]
+    total = jnp.zeros(v.shape[:-1], _U)
+    for ab in range(7):
+        const = _U((1 << (8 * ab)) % P)
+        plane = None
+        for aa in range(max(0, ab - 3), min(3, ab) + 1):
+            term = c[aa][..., ab - aa]  # < 2^31 < p
+            plane = term if plane is None else addmod_p(plane, term)
+        total = addmod_p(total, mulmod_p(plane, const))
+    return total

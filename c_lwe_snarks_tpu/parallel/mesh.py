@@ -308,7 +308,7 @@ def v_at_s_sharded(
     v_p = _pad_to(v, chunk * nshards)
 
     def shard_fn(v_l, pw):
-        return modp.sum_mod_p(modp.mulmod_p(v_l, pw[None, :]), axis=-1)
+        return modp.matvec_mod_p(v_l, pw)
 
     out = shard_map(
         shard_fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis)

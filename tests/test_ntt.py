@@ -250,3 +250,16 @@ def test_poly_div_sharded_matches():
         )
     )(jnp.asarray(num), jnp.asarray(den))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_matvec_mod_p_matches_vpu_form():
+    """MXU byte-plane matvec == the mulmod/tree-sum form, all paths."""
+    for m, d in ((5, 4), (7, 64), (3, 257), (2, 32768)):
+        v = rmodp(m, d)
+        w = rmodp(d)
+        want = jax.jit(
+            lambda v, w: modp.sum_mod_p(modp.mulmod_p(v, w[None, :]), axis=-1)
+        )(jnp.asarray(v), jnp.asarray(w))
+        got = jax.jit(modp.matvec_mod_p)(jnp.asarray(v), jnp.asarray(w))
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=f"m={m} d={d}")
