@@ -247,10 +247,12 @@ def prover(
         sampling.keystream_bytes(ent_key, ent_offset, 8)
     )
 
-    # w = delta*t + sum_{witness bit i-1} v_i   (coeff domain, mod p)
-    gate = witness[: m - 1].astype(bool)  # gates v_1..v_{m-1}
-    sel = jnp.where(gate[:, None], ssp.v[1:], jnp.zeros_like(ssp.v[1:]))
-    w = modp.addmod_p(modp.mulmod_p(delta, ssp.t), modp.sum_mod_p(sel, axis=0))
+    # w = delta*t + sum_{witness bit i-1} v_i   (coeff domain, mod p;
+    # the gated row-sum runs as byte-plane MXU matmuls — ops/modp.py)
+    gate = witness[: m - 1]  # gates v_1..v_{m-1}
+    w = modp.addmod_p(
+        modp.mulmod_p(delta, ssp.t), modp.gated_rowsum_mod_p(ssp.v[1:], gate)
+    )
 
     # b_w = delta * ct(beta t) + sum_{witness} ct(beta v_i):
     # the masked sum is a homomorphic evaluation with 0/1 coefficients.

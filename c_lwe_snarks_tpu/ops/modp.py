@@ -127,6 +127,30 @@ def poly_eval_mod_p(coeffs: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     return sum_mod_p(mulmod_p(coeffs, pw))
 
 
+def gated_rowsum_mod_p(v: jnp.ndarray, gate: jnp.ndarray) -> jnp.ndarray:
+    """sum_{i : gate_i} v[i, :] mod p — the witness row selection.
+
+    v: uint32 [m, d] (entries < p); gate: 0/1 uint8 [m], m <= 32768.
+    The prover's w-accumulation (src/snark.c:147-155) as four byte-plane
+    int8 MXU matmuls [1, m] x [m, d] (exact: plane sums <= m*255 < p)
+    plus a 4-term mod-p fold — replaces an m x d masked select + mod-p
+    reduction tree on the VPU.
+    """
+    m, d = v.shape
+    if m > 32768:
+        sel = jnp.where(gate[:, None].astype(bool), v, jnp.zeros_like(v))
+        return sum_mod_p(sel, axis=0)
+    from . import digits as dg
+
+    g = gate.astype(jnp.uint8)[None, :]  # [1, m]
+    total = jnp.zeros((d,), _U)
+    for b in range(4):
+        pb = ((v >> _U(8 * b)) & _U(255)).astype(jnp.uint8)  # [m, d]
+        plane = dg.u8_matmul(g, pb)[0].astype(_U)  # [d] exact, < m*255 < p
+        total = addmod_p(total, mulmod_p(plane, _U((1 << (8 * b)) % P)))
+    return total
+
+
 def matvec_mod_p(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """sum_i v[..., r, i] * w[i] mod p — rows of a mod-p matvec.
 

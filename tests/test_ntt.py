@@ -263,3 +263,19 @@ def test_matvec_mod_p_matches_vpu_form():
         got = jax.jit(modp.matvec_mod_p)(jnp.asarray(v), jnp.asarray(w))
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(want), err_msg=f"m={m} d={d}")
+
+
+def test_gated_rowsum_mod_p():
+    for m, d in ((9, 16), (64, 128)):
+        v = rmodp(m, d)
+        gate = (RNG.randint(0, 2, m)).astype(np.uint8)
+        want = jax.jit(
+            lambda v, g: modp.sum_mod_p(
+                jnp.where(g[:, None].astype(bool), v, jnp.zeros_like(v)),
+                axis=0,
+            )
+        )(jnp.asarray(v), jnp.asarray(gate))
+        got = jax.jit(modp.gated_rowsum_mod_p)(
+            jnp.asarray(v), jnp.asarray(gate))
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=f"m={m} d={d}")
