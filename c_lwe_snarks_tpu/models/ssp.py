@@ -101,7 +101,7 @@ def gen_v_scan(
 
 
 def random_ssp(
-    key: sampling.PRGKey, byte_offset: int, params: Params, *, tile: int = 256
+    key: sampling.PRGKey, byte_offset: int, params: Params, *, tile: int = 128
 ) -> tuple[jnp.ndarray, SSPDev]:
     """(witness bits uint8 [m], SSPDev) from the entropy stream.
 
@@ -110,7 +110,9 @@ def random_ssp(
     (the nmod_poly coercion of src/ssp.c:28-34).  Polynomials generate in
     m-tiles inside a lax.scan — at release scale one flat draw is 5.7 GB
     of keystream — and t accumulates in-scan, never materializing a
-    masked copy of v.
+    masked copy of v.  tile=128 measured fastest on a v5e (33 MB of
+    keystream words per step; larger tiles lose to HBM buffering,
+    smaller to per-step dispatch).
     """
     m, d = params.m, params.d
     wb, pad = witness_pad_bytes(params)
