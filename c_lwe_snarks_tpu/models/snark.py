@@ -161,16 +161,13 @@ def setup(
     alpha, beta, s = (modp.bytes_to_u64_mod_p(scalars[i]) for i in range(3))
     sk = tlwe.key_gen(ent_key, ent_offset + 24, params)
 
+    # The per-encryption error draws are one contiguous entropy run in
+    # exactly the CRS term order (s, as, t, v — src/snark.c:75-110).
     e_base = ent_offset + 24 + params.logq_bytes * n
-    eb = enc_entropy_bytes(params)
-    errs_s = _err_digits(ent_key, e_base, d, params)
-    errs_as = _err_digits(ent_key, e_base + d * eb, d, params)
-    errs_t = _err_digits(ent_key, e_base + 2 * d * eb, 1, params)
-    errs_v = _err_digits(ent_key, e_base + (2 * d + 1) * eb, m - 1, params)
+    n_enc = 2 * d + 1 + (m - 1)
+    errs = _err_digits(ent_key, e_base, n_enc, params)
 
     powers = modp.powers_mod_p(s, d)  # [d]: s^i
-    msgs_s = powers
-    msgs_as = modp.mulmod_p(alpha, powers)
     # beta * t(s), beta * v_i(s): one exact int8 MXU matmul over byte
     # planes (modp.matvec_mod_p) instead of m*d VPU mulmods
     t_s = modp.matvec_mod_p(ssp.t[None, :], powers)[0]
@@ -180,15 +177,23 @@ def setup(
         v_s = pmesh2.v_at_s_sharded(ssp.v, powers, mesh)  # [m], row-sharded
     else:
         v_s = modp.matvec_mod_p(ssp.v, powers)
-    msg_t = modp.mulmod_p(beta, t_s)[None]
-    msgs_v = modp.mulmod_p(beta, v_s[1:])  # i in [1, m)
+    msgs = jnp.concatenate([
+        powers,                            # s^i            (CTR_S)
+        modp.mulmod_p(alpha, powers),      # alpha s^i      (CTR_AS)
+        modp.mulmod_p(beta, t_s)[None],    # beta t(s)      (CTR_BT)
+        modp.mulmod_p(beta, v_s[1:]),      # beta v_i(s)    (CTR_BV)
+    ])
 
-    b_s = enc_section(crs_key, params.ctr_s, sk, msgs_s, errs_s, params, tile=tile)
-    b_as = enc_section(crs_key, params.ctr_as, sk, msgs_as, errs_as, params, tile=tile)
-    b_t = tlwe.encrypt_section(crs_key, params.ctr_bt, sk, msg_t, errs_t, params)
-    b_v = enc_section(crs_key, params.ctr_bv, sk, msgs_v, errs_v, params)
+    # The four CTR_* sections are back-to-back in the CRS stream
+    # (src/snark.h:8-12), so all 2d+m encryptions run as ONE fused
+    # kernel launch from CTR_S — no per-section dispatch gaps and a
+    # single contiguous keystream sweep.
+    rows = enc_section(crs_key, params.ctr_s, sk, msgs, errs, params, tile=tile)
 
-    crs = CRSDev(seed=crs_key.seed, b_s=b_s, b_as=b_as, b_t=b_t[0], b_v=b_v)
+    crs = CRSDev(
+        seed=crs_key.seed, b_s=rows[:d], b_as=rows[d : 2 * d],
+        b_t=rows[2 * d], b_v=rows[2 * d + 1 :],
+    )
     vrs = VRSDev(alpha=alpha, beta=beta, s=s, sk=sk)
     return crs, vrs
 
@@ -212,6 +217,63 @@ def _pad_multiple(x: jnp.ndarray, mult: int, axis: int = 0) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
+def _prover_evals_onepass(
+    crs_key: sampling.PRGKey,
+    crs: CRSDev,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    v: jnp.ndarray,
+    delta: jnp.ndarray,
+    witness: jnp.ndarray,
+    params: Params,
+    *,
+    lane_w: int = 512,
+    interpret: bool = False,
+) -> tuple:
+    """All five prover evaluations in ONE fused kernel sweep.
+
+    The CRS sections are back-to-back in the stream (src/snark.h:8-12),
+    so (w, h over s), (v, h over as) and the b_w combination
+    (delta at the bt term + witness bits over bv, src/snark.c:140-155)
+    are five coefficient lanes over the SAME contiguous term range —
+    each lane zero outside its section.  One launch regenerates the
+    whole 11.8 GB keystream exactly once (the reference walks it four
+    times); delta folds in as a traced coefficient, so no ct_import of
+    Enc(beta t) is needed either.  Wall time matches the stage-wise
+    path (both are keystream-bound and XLA already pipelines the
+    separate launches); kept for the single-launch structure — the
+    whole prover hot path is one kernel sweep.
+
+    int32 safety: the kernel's per-lane MAC planes are bounded by the
+    lane's NONZERO term count (zero coefficients contribute exactly 0),
+    <= max(d, m) * 255^2 < 2^31 — the generic eval_poly_multi d-bound
+    does not apply to block-sparse lanes, hence the direct
+    eval_poly_multi_fused call.  Returns (v_w, h@s, hat_v, hat_h, b_w).
+    """
+    d, m = params.d, params.m
+    total = 2 * d + 1 + (m - 1)
+    pad = -total % (2 * lane_w)
+    tp = total + pad
+    coeffs = jnp.zeros((5, tp), jnp.uint32)
+    coeffs = coeffs.at[0, :d].set(w)
+    coeffs = coeffs.at[1, :d].set(h)
+    coeffs = coeffs.at[2, d : 2 * d].set(v)
+    coeffs = coeffs.at[3, d : 2 * d].set(h)
+    coeffs = coeffs.at[4, 2 * d].set(delta)
+    coeffs = coeffs.at[4, 2 * d + 1 :].set(
+        jnp.pad(witness[: m - 1].astype(jnp.uint32), (0, pad))
+    )
+    b_all = jnp.concatenate([
+        crs.b_s, crs.b_as, crs.b_t[None], crs.b_v,
+        jnp.zeros((pad, crs.b_s.shape[-1]), jnp.uint8),
+    ])
+    out = tlwe.eval_poly_multi_fused(
+        crs_key, params.ctr_s, b_all, coeffs, params,
+        lane_w=lane_w, interpret=interpret,
+    )
+    return out[0], out[1], out[2], out[3], out[4]
+
+
 def prover(
     crs_key: sampling.PRGKey,
     ent_key: sampling.PRGKey,
@@ -228,7 +290,9 @@ def prover(
 
     witness: uint8 bit vector [m] (bit i-1 gates v_i, i in [1, m)).
     With ``mesh`` set, each evaluation shards its degree axis over the
-    mesh (partial MACs + one psum each — parallel/mesh.py).
+    mesh (partial MACs + one psum each — parallel/mesh.py); on a
+    single-chip Pallas backend the five evaluations run as ONE kernel
+    sweep of the contiguous CRS stream (_prover_evals_onepass).
     """
     d, m, n = params.d, params.m, params.n
     p_u32 = jnp.uint32(params.p)
@@ -254,26 +318,6 @@ def prover(
         modp.mulmod_p(delta, ssp.t), modp.gated_rowsum_mod_p(ssp.v[1:], gate)
     )
 
-    # b_w = delta * ct(beta t) + sum_{witness} ct(beta v_i):
-    # the masked sum is a homomorphic evaluation with 0/1 coefficients.
-    ct_bt = tlwe.ct_import(crs_key, params.ctr_bt, crs.b_t[None], params)[0]
-    # pad so the default eval tiling divides the padded degree: to the
-    # fused kernel's 2*lane_w grid when the section is large (CTR_BV's
-    # half-block offset rides the kernel's lead-prefix path), else a full
-    # scan tile, else even (one tile of the whole set)
-    if tile is None and (m - 1) >= 1024:
-        bw_mult = 1024
-    else:
-        bw_mult = (tile or 256) if (m - 1) >= (tile or 256) else 2
-    bw_coeffs = _pad_multiple(witness[: m - 1].astype(jnp.uint32), bw_mult)
-    bw_rows = _pad_multiple(tlwe.pad_digits(crs.b_v), bw_mult)
-    b_w = tlwe.ct_add(
-        tlwe.ct_mul_ui(ct_bt, delta),
-        eval_multi(
-            crs_key, params.ctr_bv, bw_rows, bw_coeffs[None], params, tile=tile
-        )[0],
-    )
-
     # v = v_0 + w;  h = (v^2 - 1) / t   (CRT-NTT engine; with a mesh the
     # large transforms run 4-step sharded over ICI — ops/ntt.py)
     v = modp.addmod_p(ssp.v[0], w)
@@ -281,15 +325,49 @@ def prover(
     num = v_sq.at[0].set(modp.submod_p(v_sq[0], jnp.uint32(1)))
     h = ntt.poly_div_exact_mod_p(num, ssp.t, d, mesh=mesh)
 
-    # fused evaluations: (w, h) over the s section, (v, h) over as
-    ev_s = eval_multi(
-        crs_key, params.ctr_s, crs.b_s, jnp.stack([w, h]), params, tile=tile
+    one_pass = (
+        mesh is None and tile is None
+        and sampling._default_backend() == "pallas"
+        and params.n % 2 == 0
+        # per-lane int32 bound of the fused kernel (see onepass docstring)
+        and max(d, m) * 255 * 255 < 2**31
     )
-    ev_as = eval_multi(
-        crs_key, params.ctr_as, crs.b_as, jnp.stack([v, h]), params, tile=tile
-    )
-    v_w, h_ct = ev_s[0], ev_s[1]
-    hat_v, hat_h = ev_as[0], ev_as[1]
+    if one_pass:
+        v_w, h_ct, hat_v, hat_h, b_w = _prover_evals_onepass(
+            crs_key, crs, w, h, v, delta, witness, params
+        )
+    else:
+        # b_w = delta * ct(beta t) + sum_{witness} ct(beta v_i): the
+        # masked sum is a homomorphic evaluation with 0/1 coefficients.
+        ct_bt = tlwe.ct_import(crs_key, params.ctr_bt, crs.b_t[None], params)[0]
+        # pad so the default eval tiling divides the padded degree: to
+        # the fused kernel's 2*lane_w grid when the section is large
+        # (CTR_BV's half-block offset rides the kernel's lead-prefix
+        # path), else a full scan tile, else even (one whole-set tile)
+        if tile is None and (m - 1) >= 1024:
+            bw_mult = 1024
+        else:
+            bw_mult = (tile or 256) if (m - 1) >= (tile or 256) else 2
+        bw_coeffs = _pad_multiple(witness[: m - 1].astype(jnp.uint32), bw_mult)
+        bw_rows = _pad_multiple(tlwe.pad_digits(crs.b_v), bw_mult)
+        b_w = tlwe.ct_add(
+            tlwe.ct_mul_ui(ct_bt, delta),
+            eval_multi(
+                crs_key, params.ctr_bv, bw_rows, bw_coeffs[None], params,
+                tile=tile,
+            )[0],
+        )
+        # fused evaluations: (w, h) over the s section, (v, h) over as
+        ev_s = eval_multi(
+            crs_key, params.ctr_s, crs.b_s, jnp.stack([w, h]), params,
+            tile=tile,
+        )
+        ev_as = eval_multi(
+            crs_key, params.ctr_as, crs.b_as, jnp.stack([v, h]), params,
+            tile=tile,
+        )
+        v_w, h_ct = ev_s[0], ev_s[1]
+        hat_v, hat_h = ev_as[0], ev_as[1]
 
     # smudging, reference order: h, hat_h, hat_v, v_w, v_w (quirk: v_w
     # twice, b_w never — src/snark.c:184-189)

@@ -29,7 +29,6 @@ import time (bitsliced over python-int masks), like sbox_opt.
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..oracle import aes as host_aes
 

@@ -106,3 +106,57 @@ def test_fused_encrypt_matches_scan(count, lead):
     )()
     got = _fused_encrypt(key, off, sk, msgs, errs, P)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_prover_onepass_matches_stagewise():
+    """The one-kernel prover sweep (models/snark._prover_evals_onepass:
+    5 block-sparse coefficient lanes over the contiguous CRS stream,
+    delta folded in as a traced coefficient) == the stage-wise path
+    (two k=2 evals + ct_import + b_v eval), digit for digit."""
+    from c_lwe_snarks_tpu.models import snark as tsnark
+    from c_lwe_snarks_tpu.models import ssp as tssp
+
+    P = params_mod.custom(d=16, m=8, n=6)
+    crs_key = sampling.PRGKey(bytes(range(40, 80)))
+    ent_key = sampling.PRGKey(bytes(range(40)))
+    off_setup = tssp.entropy_bytes_random_ssp(P)
+
+    @jax.jit
+    def build():
+        wits, inst = tssp.random_ssp(ent_key, 0, P)
+        crs, _ = tsnark.setup(crs_key, ent_key, off_setup, inst, P)
+        return wits, crs
+
+    wits, crs = build()
+    rng = np.random.default_rng(31)
+    w = jnp.asarray(rng.integers(0, P.p, size=P.d, dtype=np.uint32))
+    h = jnp.asarray(rng.integers(0, P.p, size=P.d, dtype=np.uint32))
+    v = jnp.asarray(rng.integers(0, P.p, size=P.d, dtype=np.uint32))
+    delta = jnp.uint32(123456789)
+
+    got = jax.jit(
+        lambda w, h, v: tsnark._prover_evals_onepass(
+            crs_key, crs, w, h, v, delta, wits, P, lane_w=8, interpret=True
+        )
+    )(w, h, v)
+
+    @jax.jit
+    def stagewise(w, h, v):
+        ev_s = tlwe.eval_poly_multi(
+            crs_key, P.ctr_s, crs.b_s, jnp.stack([w, h]), P, impl="scan")
+        ev_as = tlwe.eval_poly_multi(
+            crs_key, P.ctr_as, crs.b_as, jnp.stack([v, h]), P, impl="scan")
+        ct_bt = tlwe.ct_import(crs_key, P.ctr_bt, crs.b_t[None], P)[0]
+        bw = tlwe.ct_add(
+            tlwe.ct_mul_ui(ct_bt, delta),
+            tlwe.eval_poly_multi(
+                crs_key, P.ctr_bv, tlwe.pad_digits(crs.b_v),
+                wits[: P.m - 1].astype(jnp.uint32)[None], P, impl="scan",
+            )[0],
+        )
+        return ev_s[0], ev_s[1], ev_as[0], ev_as[1], bw
+
+    want = stagewise(w, h, v)
+    for name, g, r in zip(("v_w", "h", "hat_v", "hat_h", "b_w"), got, want):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(r), err_msg=name)
