@@ -43,6 +43,9 @@ def _time(fn, *args, reps: int = 5) -> float:
 
 
 def main() -> None:
+    from . import setup_cache
+
+    setup_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--d", type=int, default=1 << 15)
     ap.add_argument("--k", type=int, default=2, help="fused polynomials")

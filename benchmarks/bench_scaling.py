@@ -47,12 +47,15 @@ def main() -> None:
 
     force_cpu = args.virtual_cpu
     if not force_cpu:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.default_backend(), len(jax.devices()))"],
-            capture_output=True, text=True, timeout=120,
-        )
-        out = probe.stdout.strip().split()
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend(), len(jax.devices()))"],
+                capture_output=True, text=True, timeout=120,
+            )
+            out = probe.stdout.strip().split()
+        except (subprocess.TimeoutExpired, OSError):
+            out = []  # hung/failed probe (e.g. TPU runtime lock) -> CPU
         ambient = (out[0], int(out[1])) if len(out) == 2 else ("cpu", 0)
         print(f"[scaling] ambient backend: {ambient}", file=sys.stderr)
         force_cpu = ambient[0] == "cpu" or ambient[1] < args.devices

@@ -235,6 +235,18 @@ def encrypt_section(
     CI coverage off-TPU uses a small lane_w).
     """
     total = msgs.shape[0]
+    if impl == "fused":
+        # Forcing the fused path must not bypass its safety bounds (the
+        # auto path checks them via _fused_encrypt_ok; count>=512 there
+        # is a perf heuristic, not safety): fail loudly at trace time
+        # instead of producing silently wrong ciphertexts.
+        lead = _static_lead(section_offset)
+        assert lead is not None and lead % 8 == 0, section_offset
+        assert params.n % 2 == 0, params.n
+        assert params.n * 88 * 255 * 15 + (1 << 26) < 2**31, (
+            "n too large for the fused kernel's int32 accumulator; "
+            "use impl='scan'"
+        )
     if impl == "fused" or (
         impl == "auto"
         and sampling._default_backend() == "pallas"
@@ -467,6 +479,15 @@ def eval_poly_multi(
     "auto" picks fused on TPU whenever the shape/offset allow it;
     ``lane_w``/``interpret`` configure the fused kernel.
     """
+    if impl == "fused":
+        # Forced fused path: assert the int32 MAC-plane bound and lead
+        # alignment the auto path checks via _fused_eval_ok (degree
+        # divisibility and lead%8 are asserted inside eval_mac_planes).
+        assert coeffs.shape[1] * 255 * 255 < 2**31, (
+            "degree too large for the fused kernel's int32 MAC planes; "
+            "use impl='scan'"
+        )
+        assert params.n % 2 == 0, params.n
     if impl == "fused" or (
         impl == "auto"
         and sampling._default_backend() == "pallas"

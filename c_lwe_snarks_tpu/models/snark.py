@@ -331,6 +331,9 @@ def prover(
         and params.n % 2 == 0
         # per-lane int32 bound of the fused kernel (see onepass docstring)
         and max(d, m) * 255 * 255 < 2**31
+        # the fused kernel needs a byte-aligned lead (holds today because
+        # ctr_s is statically 0; guard against future layout changes)
+        and params.ctr_s % 16 % 8 == 0
     )
     if one_pass:
         v_w, h_ct, hat_v, hat_h, b_w = _prover_evals_onepass(

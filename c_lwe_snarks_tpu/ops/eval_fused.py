@@ -198,41 +198,49 @@ def _mac_kernel(
         lane_w=lane_w, stride=stride,
     )
 
-    # ---- MAC: per byte-in-word position g', one MXU matmul --------------
-    # Column select: byte col of word-col wc at position g' is
-    # 512*c + 4*wc + g'; past the dead lead it belongs to the even ct iff
-    # col - lead < ctr_ct = 8*stride.  (lead > 0 = half-block section
-    # offsets like CTR_BV, src/snark.h:11; those keystream bytes belong
-    # to the previous section and must not reach either half.)
-    # The coefficient-side recentring corrections (128 * colsum(cb-128)
-    # + 128^2 * W per row chunk) are column-independent once the even and
-    # odd halves are added, so they move to the XLA epilogue; only the
-    # keystream-side rowsum correction needs the in-kernel bytes.
-    wc_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    # ---- MAC: ONE MXU matmul for all four byte-in-word positions --------
+    # The four per-g [128, W] x [W, 8k] contractions share the coefficient
+    # matrix, so they stack into a single [512, W] x [W, 8k+1] matmul
+    # (rows g*128 + wc, g-major).  The trailing ones column yields the
+    # keystream-side recentring rowsum as a matmul output — no cross-lane
+    # VPU reductions.  The coefficient-side corrections (128 * colsum
+    # (cb-128) + 128^2 * W per row chunk) are column-independent once the
+    # even and odd halves are added, so they stay in the XLA epilogue.
+    xs = jnp.concatenate(
+        [
+            (((w32 >> jnp.uint32(8 * g)) & jnp.uint32(255)).astype(jnp.int32)
+             - 128).astype(jnp.int8)
+            for g in range(4)
+        ],
+        axis=0,
+    )  # [512, W] recentred bytes
+    mm = jax.lax.dot_general(
+        xs, cb_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [512, 8k + 1]
+    exact = mm[:, : 2 * planes4k] + 128 * mm[:, 2 * planes4k:]
+    # Column select: byte col of row g*128 + wc is 512*c + 4*wc + g; past
+    # the dead lead it belongs to the even ct iff col - lead < ctr_ct =
+    # 8*stride.  (lead > 0 = half-block section offsets like CTR_BV,
+    # src/snark.h:11; those bytes belong to the previous section and must
+    # not reach either half.)
+    row = jax.lax.broadcasted_iota(jnp.int32, (512, 1), 0)
+    col = 512 * c + 4 * (row % 128) + row // 128
+    even = col - lead < 8 * stride
     half = planes4k
-    for g in range(4):
-        x = ((w32 >> jnp.uint32(8 * g)) & jnp.uint32(255)).astype(jnp.int32)
-        xs = (x - 128).astype(jnp.int8)  # recentred bytes, in [-128, 127]
-        mm = jax.lax.dot_general(
-            xs, cb_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [128, 8k]
-        rowsum = jnp.sum(xs.astype(jnp.int32), axis=1, keepdims=True)  # [128,1]
-        exact = mm + 128 * rowsum
-        col = 512 * c + 4 * wc_iota + g  # [128, 1]
-        even = col - lead < 8 * stride
-        val = jnp.where(even, exact[:, :half], exact[:, half:])  # [128, 4k]
-        if lead:
-            val = jnp.where(col < lead, 0, val)
+    val = jnp.where(even, exact[:, :half], exact[:, half:])  # [512, 4k]
+    if lead:
+        val = jnp.where(col < lead, 0, val)
+    val = val.reshape(4, 128, planes4k)
 
-        @pl.when(r == 0)
-        def _():
-            out_ref[0, g] = val
+    @pl.when(r == 0)
+    def _():
+        out_ref[0] = val
 
-        @pl.when(r > 0)
-        def _():
-            out_ref[0, g] += val
+    @pl.when(r > 0)
+    def _():
+        out_ref[0] += val
 
 
 def eval_mac_planes(
@@ -274,6 +282,11 @@ def eval_mac_planes(
     cb_pairs = cbytes.transpose(1, 0, 2).reshape(d // 2, 2, planes4k)
     cb = jnp.concatenate([cb_pairs[:, 0], cb_pairs[:, 1]], axis=1)  # [d/2, 8k]
     cb_s = jax.lax.bitcast_convert_type(cb ^ jnp.uint8(0x80), jnp.int8)
+    # trailing ones column: the kernel reads the keystream-side recentring
+    # rowsum out of the same matmul (see _mac_kernel)
+    cb_s = jnp.concatenate(
+        [cb_s, jnp.ones((d // 2, 1), jnp.int8)], axis=1
+    )  # [d/2, 8k + 1]
     # coefficient-side correction, summed over even+odd halves (see kernel
     # comment): 128 * sum_i (byte_c(coeff_k[i]) - 128) + 128^2 * d, per
     # (k, c) plane — column-independent, added after the halves merge.
@@ -296,7 +309,7 @@ def eval_mac_planes(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 4, 16, 1), lambda c, r: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lane_w, 2 * planes4k), lambda c, r: (r, 0),
+            pl.BlockSpec((lane_w, 2 * planes4k + 1), lambda c, r: (r, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -346,20 +359,27 @@ def _enc_kernel(
 
     # <sk, a> digit contraction over this chunk's 512 byte columns: byte
     # col 512c + 4wc + g of pair row l, against the matching sk-band rows.
-    # The keystream side is recentred for the MXU; the band side holds
-    # raw sk NIBBLES (0..15), so every accumulated column stays within
-    # int32 across the whole sweep (<= n*88*255*15 = 4.9e8) and the
-    # recentring correction is one lane-independent column-sum term
-    # applied in the epilogue.  No in-kernel carry folding needed.
-    mm = jnp.zeros((lane_w, 384), jnp.int32)
-    for g in range(4):
-        x = ((w32 >> jnp.uint32(8 * g)) & jnp.uint32(255)).astype(jnp.int32)
-        xs = (x - 128).astype(jnp.int8)  # [128, W]
-        mm = mm + jax.lax.dot_general(
-            xs, w_ref[0, g],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [W, 384]
+    # The four per-g [128, W] x [128, 384] contractions sum into one
+    # [512, W] x [512, 384] matmul (rows g*128 + wc, matching the band
+    # block's [g, wc] order).  The keystream side is recentred for the
+    # MXU; the band side holds raw sk NIBBLES (0..15), so every
+    # accumulated column stays within int32 across the whole sweep
+    # (<= n*88*255*15 = 4.9e8) and the recentring correction is one
+    # lane-independent column-sum term applied in the epilogue.  No
+    # in-kernel carry folding needed.
+    xs = jnp.concatenate(
+        [
+            (((w32 >> jnp.uint32(8 * g)) & jnp.uint32(255)).astype(jnp.int32)
+             - 128).astype(jnp.int8)
+            for g in range(4)
+        ],
+        axis=0,
+    )  # [512, W]
+    mm = jax.lax.dot_general(
+        xs, w_ref[0].reshape(512, 384),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [W, 384]
 
     @pl.when(c == 0)
     def _():

@@ -175,6 +175,127 @@ def ntt_inverse(x: jnp.ndarray, q: int) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Prime-batched transforms: all three CRT residues in ONE op stream.
+#
+# The replicated (single-chip) path's wall time is dispatch-bound: a
+# radix-2 stage is ~20 small VPU ops on a [n] array, and running the
+# three primes separately triples the op count for the same FLOPs.
+# Here the prime axis is a leading tensor axis and the Montgomery/field
+# constants are [3, 1, 1] broadcasts, so one stage serves all residues
+# (and fwd(a)/fwd(b) stack on a second batch axis).  Bit-identical to
+# the per-prime path (same butterflies, same tables).
+# --------------------------------------------------------------------------
+
+
+def _vconst(vals, ndim: int) -> np.ndarray:
+    """uint32 [3] constants shaped [3, 1, ..] to broadcast over [3, B, n].
+
+    Kept as NUMPY: jnp ops treat them as embedded constants, and a cached
+    device array materialized inside a jit trace would leak tracers
+    (same rule as aes_pallas._v2_meta_jnp)."""
+    return np.asarray(vals, np.uint32).reshape((3,) + (1,) * (ndim - 1))
+
+
+@functools.cache
+def _vctx(ndim: int):
+    """Broadcast constant set for the prime-batched ops at rank ndim."""
+    ctxs = [_prime_ctx(q) for q in NTT_PRIMES]
+    return dict(
+        q=_vconst([c.q for c in ctxs], ndim),
+        qinv=_vconst([c.qinv_neg for c in ctxs], ndim),
+        r2=_vconst([c.r2 for c in ctxs], ndim),
+        wrap=_vconst([(1 << 32) % c.q for c in ctxs], ndim),
+    )
+
+
+def _mont_mul_v(a, b, vc):
+    hi_ab, lo_ab = modp.mul32(a, b)
+    m = lo_ab * vc["qinv"]  # wrapping
+    hi_mq, _ = modp.mul32(m, vc["q"])
+    t = hi_ab + hi_mq + (lo_ab != 0).astype(_U)
+    return jnp.where(t >= vc["q"], t - vc["q"], t)
+
+
+def _addmod_v(a, b, vc):
+    s = a + b
+    s = jnp.where(s < a, s + vc["wrap"], s)  # uint32 wrap (q > 2^31 possible)
+    return jnp.where(s >= vc["q"], s - vc["q"], s)
+
+
+def _submod_v(a, b, vc):
+    return _addmod_v(a, jnp.where(b > _U(0), vc["q"] - b, b), vc)
+
+
+def _reduce_u32_v(x, vc):
+    # q >= 2^32/3 for all three primes: two conditional subtracts land < q
+    x = jnp.where(x >= vc["q"], x - vc["q"], x)
+    return jnp.where(x >= vc["q"], x - vc["q"], x)
+
+
+@functools.cache
+def _tables_v(n: int):
+    """Prime-stacked per-stage twiddles: [stage][3, half] + shared rev."""
+    per = [_tables(q, n) for q in NTT_PRIMES]
+    rev = per[0][0]  # bit-reversal depends only on n
+    logn = n.bit_length() - 1
+    fwd = [np.stack([per[p][1][s] for p in range(3)]) for s in range(logn)]
+    inv = [np.stack([per[p][2][s] for p in range(3)]) for s in range(logn)]
+    n_inv = np.stack([per[p][3] for p in range(3)])  # [3]
+    return rev, fwd, inv, n_inv
+
+
+def _ntt_core_v(x: jnp.ndarray, stage_tw, rev) -> jnp.ndarray:
+    """Radix-2 DIT NTT along the last axis; x uint32 [3, ..., n]."""
+    vc = _vctx(x.ndim + 1)  # +1: the stage view adds a (pairs, 2) axis
+    n = x.shape[-1]
+    x = jnp.take(x, jnp.asarray(rev), axis=-1)
+    for s, tw in enumerate(stage_tw, start=1):
+        length = 1 << s
+        half = length // 2
+        v = x.reshape(*x.shape[:-1], n // length, 2, half)
+        u, w = v[..., 0, :], v[..., 1, :]
+        twb = tw.reshape((3,) + (1,) * (x.ndim - 1) + (half,))  # np constant
+        wv = _mont_mul_v(w, twb, vc)
+        x = jnp.concatenate(
+            [_addmod_v(u, wv, vc)[..., None, :], _submod_v(u, wv, vc)[..., None, :]],
+            axis=-2,
+        ).reshape(*x.shape[:-1], n)
+    return x
+
+
+def _poly_mul_batched(ap: jnp.ndarray, bp: jnp.ndarray | None) -> jnp.ndarray:
+    """Replicated CRT product of padded pow2-length arrays, prime-batched.
+
+    ap/bp: uint32 [..., n] mod p.  bp=None computes the square (one
+    forward transform instead of two — the prover's v^2).  Returns the
+    full cyclic product coefficients mod p, [..., n].
+    """
+    n = ap.shape[-1]
+    rev, fwd, inv, n_inv = _tables_v(n)
+    if bp is None:
+        xs = jnp.broadcast_to(ap, (3, *ap.shape))  # [3, ..., n]
+        xs = _reduce_u32_v(xs, _vctx(xs.ndim))
+        f = _ntt_core_v(xs, fwd, rev)
+        vc = _vctx(f.ndim)
+        prod = _mont_mul_v(_mont_mul_v(f, f, vc), vc["r2"], vc)
+    else:
+        if ap.shape != bp.shape:  # batched-vs-plain operands broadcast
+            shape = jnp.broadcast_shapes(ap.shape, bp.shape)
+            ap = jnp.broadcast_to(ap, shape)
+            bp = jnp.broadcast_to(bp, shape)
+        stacked = jnp.stack([ap, bp])  # [2, ..., n]
+        xs = jnp.broadcast_to(stacked, (3, *stacked.shape))  # [3, 2, ..., n]
+        xs = _reduce_u32_v(xs, _vctx(xs.ndim))
+        f = _ntt_core_v(xs, fwd, rev)
+        vc = _vctx(f.ndim - 1)
+        prod = _mont_mul_v(_mont_mul_v(f[:, 0], f[:, 1], vc), vc["r2"], vc)
+    out = _ntt_core_v(prod, inv, rev)
+    vc = _vctx(out.ndim)
+    out = _mont_mul_v(out, _vconst(n_inv, out.ndim), vc)
+    return crt_to_mod_p(out[0], out[1], out[2])
+
+
+# --------------------------------------------------------------------------
 # CRT reconstruction mod p (Garner, 3 primes).
 # --------------------------------------------------------------------------
 
@@ -343,14 +464,9 @@ def poly_mul_mod_p(
     if _can_shard_mul(n, a, b, mesh, min_shard_n):
         out = _poly_mul_sharded_n(ap, bp, mesh)
     else:
-        res = []
-        for q in NTT_PRIMES:
-            ctx = _prime_ctx(q)
-            fa = ntt_forward(ctx.reduce_u32(ap), q)
-            fb = ntt_forward(ctx.reduce_u32(bp), q)
-            prod = ctx.mulmod(fa, fb)
-            res.append(ntt_inverse(prod, q))
-        out = crt_to_mod_p(*res)
+        # prime-batched replicated path; a square (the prover's v^2) runs
+        # one forward transform instead of two
+        out = _poly_mul_batched(ap, None if a is b else bp)
     out = out[..., : min(out_len, full)]
     if out_len > full:  # requested window extends past the exact product
         out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, out_len - full)])

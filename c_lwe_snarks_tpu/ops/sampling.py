@@ -131,7 +131,30 @@ def sample_digit_rows(
     Each draw consumes exactly ``draw_bytes`` keystream bytes (the
     reference's floor-byte discipline, src/entropy.c:17-22) and keeps the
     low ``ndigits`` as little-endian base-256 digits.
+
+    Word-aligned offsets take the word-native path: keystream words are
+    byte-extracted with fused shifts over groups of P rows (P = the row
+    period at which draw_bytes realigns to words), avoiding the u32->u8
+    bitcast relayout that dominated the byte path's wall time — same
+    bytes, same floor-byte discipline (tests/test_oracle.py pins both
+    paths to the host oracle).
     """
+    if isinstance(byte_offset, (int, np.integer)) and int(byte_offset) % 4 == 0:
+        off = int(byte_offset)
+        period = 4 // np.gcd(draw_bytes, 4)  # rows per word-aligned group
+        padded = -(-count // period) * period
+        total = padded * draw_bytes
+        skip = off % 16
+        nblocks = -(-(skip + total) // 16)
+        _, ctr = split_offset(off)
+        words = keystream_words(key, ctr, nblocks, backend=backend)
+        rows_w = jax.lax.dynamic_slice_in_dim(
+            words, skip // 4, total // 4
+        ).reshape(padded // period, period * draw_bytes // 4)
+        shifts = jnp.arange(4, dtype=jnp.uint32) * 8
+        b = ((rows_w[..., None] >> shifts) & jnp.uint32(255)).astype(jnp.uint8)
+        rows = b.reshape(padded, draw_bytes)
+        return rows[:count, :ndigits]
     ks = keystream_bytes(key, byte_offset, count * draw_bytes, backend=backend)
     rows = ks.reshape(count, draw_bytes)
     return rows[:, :ndigits]

@@ -144,6 +144,34 @@ def eval_poly(
     rop = sum_i coeff_i * ct_i where ct_i is re-expanded from the stream.
     The stream must already be positioned at the section start.
     """
+    from .. import native
+
+    if (
+        d > 0
+        and params.ct_bytes == 92
+        and params.logq_bytes == 92
+        and native.available()
+    ):
+        # Native hot loop (native/hostlib): bit-exact vs the pure path
+        # (tests/test_native.py) and ~20x faster — keeps release-scale
+        # oracle conformance runs feasible.  Consumes the same d*CTR_CT
+        # stream bytes; the stream position advances to match.
+        import numpy as np
+
+        b_rows = np.zeros((d, 92), np.uint8)
+        for i in range(min(d, len(compressed))):
+            b_rows[i] = np.frombuffer(compressed[i], np.uint8)
+        cf = np.zeros(d, np.uint32)
+        k = min(len(coeffs), d)
+        cf[:k] = coeffs[:k]
+        out = native.eval_poly(prg.key, prg.nonce, prg.pos, b_rows, cf, params.n)
+        prg.seek(prg.pos + d * params.ctr_ct)
+        rows = [
+            int.from_bytes(out[j].tobytes(), "little")
+            for j in range(params.n + 1)
+        ]
+        return Ciphertext(a=rows[: params.n], b=rows[params.n])
+
     rop = ct_zero(params)
     for i in range(d):
         ct = ct_import(params, prg, compressed[i])

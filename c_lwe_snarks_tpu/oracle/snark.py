@@ -104,15 +104,21 @@ def prover(
     delta = entropy.rand_modp(p)
     w = poly.poly_scalar_mul(ssp.t, delta)
 
-    # b_w = delta*Enc(beta t) + sum_{witness bit i-1} Enc(beta v_i)
+    # b_w = delta*Enc(beta t) + sum_{witness bit i-1} Enc(beta v_i).
+    # The witness-gated ciphertext sum is a homomorphic evaluation with
+    # 0/1 coefficients over the bv section (ct_add == ct_addmul_ui with
+    # c=1 mod 2^704), so it rides eval_poly's native hot loop; stream
+    # consumption is identical (m-1 imports from CTR_BV).
     prg.seek(params.ctr_bt)
     b_w = lwe.ct_import(params, prg, crs.t)
     b_w = lwe.ct_mul_ui(params, b_w, delta)
+    wbits = [(witness >> (i - 1)) & 1 for i in range(1, params.m)]
     for i in range(1, params.m):
-        ct_vi = lwe.ct_import(params, prg, crs.v[i - 1])
-        if (witness >> (i - 1)) & 1:
+        if wbits[i - 1]:
             w = poly.poly_add(w, ssp.v[i])
-            b_w = lwe.ct_add(params, b_w, ct_vi)
+    b_w = lwe.ct_add(
+        params, b_w, lwe.eval_poly(params, prg, crs.v, wbits, params.m - 1)
+    )
 
     # v_w = Eval(w over Enc(s^i))
     prg.seek(params.ctr_s)
@@ -142,6 +148,19 @@ def prover(
     return pi
 
 
+def test_error_siz(dot: int, params: Params) -> int:
+    """GMP ``SIZ`` of the verifier's test value (src/snark.c:237-241).
+
+    test = ceil(-dot / p) = -floor(dot / p) <= 0 for dot >= 0, and GMP's
+    SIZ is the SIGNED limb count, so SIZ(test) is minus the 64-bit limb
+    count of floor(dot / p).  The device computes the same quantity from
+    11 threshold comparisons (models/snark.py:test_error_ok); a unit test
+    pins both formulations to each other on the limb boundaries.
+    """
+    mag = dot // params.p  # |test|; the quotient of a mod-2^704 value
+    return -((mag.bit_length() + 63) // 64)
+
+
 def verifier(params: Params, ssp: SSP, vrs: VRS, pi: Proof) -> bool:
     """src/snark.c:192-250: decrypt the proof, check mod-p relations."""
     p = params.p
@@ -166,14 +185,12 @@ def verifier(params: Params, ssp: SSP, vrs: VRS, pi: Proof) -> bool:
     # eq-lin
     if w_s * vrs.beta % p != b_s:
         return False
-    # test-error (src/snark.c:237-241): ceil(-<b_w.a, sk> mod 2^704 / p)
-    # must be "small".  The reference compares the GMP limb count against
-    # a byte-derived bound (640/8 = 80 limbs = 5120 bits); any mod-2^704
-    # value passes, so the check is vacuous at these params — kept for
-    # parity.
+    # test-error (src/snark.c:237-241): the reference compares the SIGNED
+    # limb count SIZ(ceil(-<b_w.a, sk>/p)) against GAMMA_LOG_SMUDGING/8
+    # = 80 limbs.  test <= 0 here so SIZ(test) <= 0 and the check always
+    # passes at these params — computed literally anyway, with the same
+    # limb semantics as the device (models/snark.py:test_error_ok).
     dot = lwe.modq(sum(a * s for a, s in zip(pi.b_w.a, vrs.sk)), params)
-    test = -dot
-    test = -(-test // p)  # ceiling division of a negative value
-    if abs(test) >= 1 << (8 * (params.log_smudging // 8) * 8):
+    if test_error_siz(dot, params) >= params.log_smudging // 8:
         return False
     return True

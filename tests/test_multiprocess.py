@@ -1,10 +1,11 @@
 """Real multi-process DCN execution (greenfield; SURVEY §5 backend bullet).
 
-Spawns 2 jax.distributed CPU processes (localhost coordinator, 2 virtual
-devices each) running the full sharded pipeline over the 4-device global
-mesh, and asserts bit-equality of the CRS rows and the proof against a
-single-process run — the only pre-pod way to catch DCN-layer bugs such
-as initializing the backend before jax.distributed.initialize.
+Spawns N jax.distributed CPU processes (localhost coordinator, 2 virtual
+devices each, N in {2, 4}) running the full sharded pipeline over the
+2N-device global mesh, and asserts bit-equality of the CRS rows and the
+proof against a single-process run — the only pre-pod way to catch
+DCN-layer bugs such as initializing the backend before
+jax.distributed.initialize.
 """
 
 import os
@@ -35,8 +36,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_pipeline_matches_single_process(tmp_path):
-    nproc = 2
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_pipeline_matches_single_process(tmp_path, nproc):
     port = _free_port()
     env = {
         k: v

@@ -251,3 +251,33 @@ def test_snark_rejects_wrong_witness(tiny):
     wrong = wit ^ 0b11  # flip two witness bits
     pi = snark.prover(tiny, crs, inst, wrong, ent)
     assert not snark.verifier(tiny, inst, vrs, pi)
+
+
+def test_sample_digit_rows_word_path_matches_oracle():
+    """Word-native draws == oracle stream bytes at every width/offset mix.
+
+    sample_digit_rows routes word-aligned offsets through keystream_words
+    with fused byte extraction (the u8-bitcast-free path); draw widths 70
+    (error+sign), 81 (smudge), 92 (key/a) cover row periods 2, 4, 1, and
+    unaligned offsets must fall back bit-identically.
+    """
+    import jax
+
+    from c_lwe_snarks_tpu.ops import sampling
+
+    key = sampling.PRGKey(SEED)
+    for db, nd, cnt, off in [
+        (70, 69, 7, 0), (70, 69, 8, 4), (92, 88, 5, 24), (81, 81, 5, 8),
+        (92, 88, 3, 2), (70, 69, 4, 10), (81, 80, 3, 16),
+    ]:
+        got = np.asarray(
+            jax.jit(
+                lambda: sampling.sample_digit_rows(
+                    key, off, cnt, draw_bytes=db, ndigits=nd
+                )
+            )()
+        )
+        s = AesCtrStream.from_seed(SEED)
+        s.seek(off)
+        want = np.frombuffer(s.gen(cnt * db), np.uint8).reshape(cnt, db)[:, :nd]
+        np.testing.assert_array_equal(got, want, err_msg=str((db, nd, cnt, off)))

@@ -210,3 +210,37 @@ def test_verifier_rejects_wrong_witness():
         return tsnark.verifier(vrs, inst, pi, P)
 
     assert not bool(run())
+
+
+def test_test_error_limb_semantics_match_oracle():
+    """Device threshold-count SIZ == oracle bit-length SIZ on boundaries.
+
+    The reference compares GMP's signed limb count SIZ(ceil(-dot/p))
+    against GAMMA_LOG_SMUDGING/8 = 80 (src/snark.c:237-241); the device
+    derives it from 11 threshold comparisons (models/snark.py) and the
+    oracle from the quotient's bit length (oracle/snark.py).  Pin the two
+    formulations to each other exactly at every limb boundary.
+    """
+    p = P.p
+    cases = [0, 1, p - 1, p, p + 1, (1 << 704) - 1]
+    for j in range(11):
+        t = p << (64 * j)
+        cases += [t - 1, t, t + 1]
+    cases = sorted({c for c in cases if c < (1 << 704)})
+
+    thr = jnp.asarray(np.asarray(tsnark._test_error_thresholds(), np.uint8))
+    rows = jnp.asarray(dg.ints_to_digit_matrix(cases))
+
+    @jax.jit
+    def device_siz(rows):
+        ge = dg.digits_ge(rows[:, None, :], thr[None, :, :])
+        return -jnp.sum(ge.astype(jnp.int32), axis=1)
+
+    siz_dev = np.asarray(device_siz(rows))
+    for i, dot in enumerate(cases):
+        siz_orc = osnark.test_error_siz(dot, P)
+        assert siz_dev[i] == siz_orc, (hex(dot), siz_dev[i], siz_orc)
+        # both must agree with the reference's accept predicate
+        assert (siz_orc < P.log_smudging // 8) == (
+            siz_dev[i] < P.log_smudging // 8
+        )
