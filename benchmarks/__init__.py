@@ -27,10 +27,14 @@ def setup_cache() -> None:
 
 
 def block(tree):
-    """Block on every array leaf of a pytree; returns the tree."""
+    """Block until every array leaf of a pytree is ready; returns the tree.
+
+    One `jax.block_until_ready` call over the tree, NOT a per-leaf
+    `.block_until_ready()` loop: on the tunneled TPU runtime each leaf
+    sync is a separate host round-trip (~25 ms after a long program), so
+    the loop inflated every multi-output wall by leaves x 25 ms (measured
+    0.507 s vs 0.399 s for the same 5-output eval).
+    """
     import jax
 
-    for leaf in jax.tree_util.tree_leaves(tree):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
-    return tree
+    return jax.block_until_ready(tree)

@@ -189,6 +189,9 @@ def setup(
     # kernel launch from CTR_S — no per-section dispatch gaps and a
     # single contiguous keystream sweep.
     rows = enc_section(crs_key, params.ctr_s, sk, msgs, errs, params, tile=tile)
+    # Materialize ONCE before the four section slices (same XLA fusion-
+    # duplication hazard as _prover_evals_onepass' five-way split).
+    rows = jax.lax.optimization_barrier(rows)
 
     crs = CRSDev(
         seed=crs_key.seed, b_s=rows[:d], b_as=rows[d : 2 * d],
@@ -271,6 +274,10 @@ def _prover_evals_onepass(
         crs_key, params.ctr_s, b_all, coeffs, params,
         lane_w=lane_w, interpret=interpret,
     )
+    # Materialize ONCE before slicing: five sliced roots otherwise make
+    # XLA duplicate the whole eval epilogue per output (measured +90 ms
+    # at release shapes — fusion duplication, not slice cost).
+    out = jax.lax.optimization_barrier(out)
     return out[0], out[1], out[2], out[3], out[4]
 
 

@@ -183,13 +183,12 @@ def _mac_kernel(
     rk_ref,         # VMEM uint32 [15, 8, 16, 1]
     const_ref,      # VMEM uint32 [8, 16, 1]
     meta_ref,       # VMEM uint32 [8, 4, 16, 1]
-    cb_ref,         # VMEM int8  [lane_w, 8k]: recentred coeff bytes (row chunk)
-    out_ref,        # VMEM int32 [1, 4, 128, 4k]: per-col-chunk accumulator
+    cb_ref,         # VMEM int8  [lane_w, 8k+1]: recentred coeffs + ones col
+    out_ref,        # VMEM int32 [1, 512, 8k+1]: per-col-chunk raw accumulator
     *,
     lane_w: int,
     stride: int,    # pair block stride = 2 * ctr_ct / 16
     planes4k: int,  # 4k
-    lead: int,      # dead prefix bytes before the section (0 or 8)
 ):
     c = pl.program_id(0)
     r = pl.program_id(1)
@@ -203,9 +202,11 @@ def _mac_kernel(
     # matrix, so they stack into a single [512, W] x [W, 8k+1] matmul
     # (rows g*128 + wc, g-major).  The trailing ones column yields the
     # keystream-side recentring rowsum as a matmul output — no cross-lane
-    # VPU reductions.  The coefficient-side corrections (128 * colsum
-    # (cb-128) + 128^2 * W per row chunk) are column-independent once the
-    # even and odd halves are added, so they stay in the XLA epilogue.
+    # VPU reductions.  Everything else (rowsum combine, even/odd column
+    # select, dead-lead drop, coefficient-side corrections) is column- or
+    # chunk-local and runs ONCE in the XLA epilogue over the accumulator
+    # (eval_mac_planes) instead of per tile: the kernel's only per-tile
+    # work beyond the cipher is extract -> matmul -> accumulate.
     xs = jnp.concatenate(
         [
             (((w32 >> jnp.uint32(8 * g)) & jnp.uint32(255)).astype(jnp.int32)
@@ -219,28 +220,14 @@ def _mac_kernel(
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [512, 8k + 1]
-    exact = mm[:, : 2 * planes4k] + 128 * mm[:, 2 * planes4k:]
-    # Column select: byte col of row g*128 + wc is 512*c + 4*wc + g; past
-    # the dead lead it belongs to the even ct iff col - lead < ctr_ct =
-    # 8*stride.  (lead > 0 = half-block section offsets like CTR_BV,
-    # src/snark.h:11; those bytes belong to the previous section and must
-    # not reach either half.)
-    row = jax.lax.broadcasted_iota(jnp.int32, (512, 1), 0)
-    col = 512 * c + 4 * (row % 128) + row // 128
-    even = col - lead < 8 * stride
-    half = planes4k
-    val = jnp.where(even, exact[:, :half], exact[:, half:])  # [512, 4k]
-    if lead:
-        val = jnp.where(col < lead, 0, val)
-    val = val.reshape(4, 128, planes4k)
 
     @pl.when(r == 0)
     def _():
-        out_ref[0] = val
+        out_ref[0] = mm
 
     @pl.when(r > 0)
     def _():
-        out_ref[0] += val
+        out_ref[0] += mm
 
 
 def eval_mac_planes(
@@ -297,10 +284,11 @@ def eval_mac_planes(
     out = pl.pallas_call(
         functools.partial(
             _mac_kernel, lane_w=lane_w, stride=stride, planes4k=planes4k,
-            lead=lead,
         ),
         grid=(n_chunks_c, n_chunks_r),  # rows minor: out block stays put
-        out_shape=_out_struct((n_chunks_c, 4, 128, planes4k), jnp.int32, vma),
+        out_shape=_out_struct(
+            (n_chunks_c, 512, 2 * planes4k + 1), jnp.int32, vma
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((15, 8, 16, 1), lambda c, r: (0, 0, 0, 0),
@@ -313,24 +301,29 @@ def eval_mac_planes(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, 128, planes4k), lambda c, r: (c, 0, 0, 0),
+            (1, 512, 2 * planes4k + 1), lambda c, r: (c, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(start, key.pallas_key["rk_rm"], key.pallas_key["const_rm2"],
       jnp.asarray(_v2_meta_np()), cb_s)
 
-    # [C, 4(g'), 128(wc), 4k] -> byte cols j = 512c + 4wc + g'; the dead
-    # lead prefix and the tail chunk padding drop with the slice (every
-    # column keeps its own accumulator slot, so stray columns can't
-    # contaminate section bytes)
-    acc = out.transpose(3, 0, 2, 1).reshape(planes4k, n_chunks_c * 512)
-    acc = acc[:, lead : lead + 2 * ctr_ct].reshape(planes4k, 2, n, 92)[..., :88]
-    # even-ct + odd-ct halves: both carry their own coefficients already
-    acc = acc[:, 0] + acc[:, 1] + corr[:, None, None]
-    # [4k, n, 88] <= d * 255^2 < 2^31
-    # plane axis is (k, byte) flattened with byte minor; put byte leading
-    # to match combine_shift_planes' [4, ...] convention
+    # Epilogue (once, off the accumulator — nothing of this is per-tile):
+    # combine the ones-column rowsum, map rows r = g*128 + wc to byte cols
+    # j = 512c + 4wc + g, window past the dead lead, and pick the even-
+    # coefficient planes on the even-ct half / odd on the odd half.  The
+    # lead prefix and tail padding drop with the slice; every column kept
+    # its own accumulator slot, so stray columns can't contaminate
+    # section bytes.  Bounds: |raw| <= (d/2)*2^14, final sums = exact
+    # non-negative MACs <= d * 255^2 < 2^31.
+    h2 = 2 * planes4k
+    exact = out[..., :h2] + 128 * out[..., h2:]  # [C, 512, 8k]
+    planes = exact.reshape(n_chunks_c, 4, 128, h2).transpose(3, 0, 2, 1)
+    planes = planes.reshape(h2, n_chunks_c * 512)
+    win = planes[:, lead : lead + 2 * ctr_ct].reshape(h2, 2, n, 92)[..., :88]
+    acc = win[:planes4k, 0] + win[planes4k:, 1] + corr[:, None, None]
+    # [4k, n, 88]; plane axis is (k, byte) flattened with byte minor; put
+    # byte leading to match combine_shift_planes' [4, ...] convention
     return acc.reshape(k, 4, n, 88).transpose(1, 0, 2, 3)
 
 
