@@ -231,6 +231,8 @@ def test_poly_mul_sharded_matches():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow  # Newton's sharded-mul cascade is a ~90 s compile;
+# replicated division + the sharded single mul stay in the fast gate
 def test_poly_div_sharded_matches():
     from c_lwe_snarks_tpu.parallel import mesh as pmesh
 

@@ -198,6 +198,8 @@ def test_v_at_s_sharded_matches(mesh8):
         np.testing.assert_array_equal(np.asarray(shd), np.asarray(ref))
 
 
+@pytest.mark.slow  # two full-pipeline compiles (~4 min); the fast gate
+# keeps the per-section sharded bit-exactness tests + the driver dryrun
 def test_full_pipeline_sharded_matches(mesh8, keys):
     crs_key, ent_key = keys
     off_setup = tssp.entropy_bytes_random_ssp(P)
