@@ -78,7 +78,11 @@ def gen_v_scan(
     parallel/mesh.random_ssp_sharded (each shard's counter is pure
     arithmetic because a polynomial row is exactly 8d stream bytes);
     sharded callers pass ``axis_name`` so the scan carry starts
-    device-varying.
+    device-varying.  Each tile rides the fused keystream→fold kernel.
+    (A single flat kernel over all rows + one gated row-sum was measured
+    SLOWER on a v5e — 0.26-0.28 s vs 0.225 s at release shapes — than
+    this scan, which overlaps each tile's fold kernel with the previous
+    tile's t-accumulation ops.)
     """
     rows = mask.shape[0]
     assert rows % tile == 0, (rows, tile)
@@ -86,9 +90,8 @@ def gen_v_scan(
 
     def step(carry, mask_t):
         ctr, t_acc = carry
-        words = sampling.keystream_words(key, ctr, blocks_per_tile)
-        w = words.reshape(tile, d, 2)
-        vi = modp.fold64_mod_p(w[..., 1], w[..., 0])  # [tile, d]
+        # fused keystream→fold kernel: raw words never reach HBM (on TPU)
+        vi = sampling.keystream_fold_p(key, ctr, tile * d).reshape(tile, d)
         sel = jnp.where(mask_t[:, None].astype(bool), vi, jnp.zeros_like(vi))
         t_acc = modp.addmod_p(t_acc, modp.sum_mod_p(sel, axis=0))
         return (sampling.advance_ctr(*ctr, blocks_per_tile), t_acc), vi
@@ -101,18 +104,18 @@ def gen_v_scan(
 
 
 def random_ssp(
-    key: sampling.PRGKey, byte_offset: int, params: Params, *, tile: int = 128
+    key: sampling.PRGKey, byte_offset: int, params: Params, *, tile: int = 64
 ) -> tuple[jnp.ndarray, SSPDev]:
     """(witness bits uint8 [m], SSPDev) from the entropy stream.
 
     Draw order == src/ssp.c:37-77: input (m//8 bytes, block-padded), then
     8d bytes per v_i.  Each uint64-LE word is reduced mod p on import
     (the nmod_poly coercion of src/ssp.c:28-34).  Polynomials generate in
-    m-tiles inside a lax.scan — at release scale one flat draw is 5.7 GB
-    of keystream — and t accumulates in-scan, never materializing a
-    masked copy of v.  tile=128 measured fastest on a v5e (33 MB of
-    keystream words per step; larger tiles lose to HBM buffering,
-    smaller to per-step dispatch).
+    m-tiles inside a lax.scan; each tile rides the fused keystream→fold
+    kernel (ops/aes_pallas.keystream_fold_p) so the raw word stream —
+    5.7 GB at release scale — never reaches HBM, and t accumulates
+    in-scan, never materializing a masked copy of v.  tile=64 measured
+    fastest on a v5e with the fused kernel (16 MB of folded v per step).
     """
     m, d = params.m, params.d
     wb, pad = witness_pad_bytes(params)

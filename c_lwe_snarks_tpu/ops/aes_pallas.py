@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..oracle import aes as host_aes
+from . import modp
 from .aes_tpu import _xtime_bits
 # Folded BP S-box: computes S(x) ^ 0x63 in 115 XOR/AND gates; the 0x63
 # constant is cancelled by the folded round keys from make_key_pallas.
@@ -166,16 +167,18 @@ def _v2_meta_jnp() -> jnp.ndarray:
     return jnp.asarray(_v2_meta_np())
 
 
-def _kernel_v2(start_ref, rk_ref, const_ref, meta_ref, out_ref, *, tile_w: int):
-    """Overhead-free variant of _kernel (same output, new layout).
+def _v2_group_words(start_ref, rk_ref, const_ref, meta_ref, *, tile_w: int):
+    """Shared _kernel_v2 body: cipher the tile, return un-bitsliced words.
 
     Kernel-bisection on a v5e showed the 14 cipher rounds cost ~3 us/tile
     while counter assembly (transpose32 + 128 single-row concatenates) and
     the XLA-side [., 128, Wt] -> [., Wt, 128] transpose cost ~80 us.  This
-    version (a) builds the counter bit planes directly with per-row static
+    body (a) builds the counter bit planes directly with per-row static
     shift/select tensors — no bit-matrix transposes, no row concatenates —
-    and (b) writes the keystream out in [Wt, 128] word order so no XLA
-    transpose is needed afterwards.
+    and (b) hands back the keystream as four uint32 [32, Wt] arrays
+    ``words[g][b]`` = LE word g of block b, so each epilogue
+    (_kernel_v2: raw words; _kernel_v2_fold: mod-p u64 folds) only
+    restacks VMEM-resident data.
     """
     i = pl.program_id(0)
     base_lo = start_ref[0] + jnp.uint32(i * tile_w * 32)
@@ -235,8 +238,7 @@ def _kernel_v2(start_ref, rk_ref, const_ref, meta_ref, out_ref, *, tile_w: int):
     planes = _shift_rows_rm(planes)
     planes = [p ^ rk_ref[14, k] for k, p in enumerate(planes)]
 
-    # un-bitslice + in-kernel transpose: row w of the output holds the 128
-    # LE words (4b + g) of its 32 blocks, so the caller only bitcasts.
+    # un-bitslice: word g of a block gathers byte rows 4g..4g+3
     words = []
     for g in range(4):
         rows = []
@@ -245,8 +247,34 @@ def _kernel_v2(start_ref, rk_ref, const_ref, meta_ref, out_ref, *, tile_w: int):
             rows.extend(planes[k][q][None, :] for k in range(8))
         p32 = jnp.concatenate(rows, axis=0)  # [32, Wt]
         words.append(transpose32(p32))  # [32(b), Wt]
+    return words
+
+
+def _kernel_v2(start_ref, rk_ref, const_ref, meta_ref, out_ref, *, tile_w: int):
+    """Raw-keystream epilogue: row w of the output holds the 128 LE words
+    (4b + g) of its 32 blocks, so the caller only bitcasts."""
+    words = _v2_group_words(start_ref, rk_ref, const_ref, meta_ref,
+                            tile_w=tile_w)
     w = jnp.stack(words, axis=1)  # [32(b), 4(g), Wt]
     out_ref[0] = w.reshape(128, tile_w).T  # [Wt, 128], col = 4b+g
+
+
+def _kernel_v2_fold(start_ref, rk_ref, const_ref, meta_ref, out_ref, *,
+                    tile_w: int):
+    """Fused u64→mod-p fold epilogue (rand_modp / nmod-coercion stream).
+
+    Each block's 4 LE words form two u64 draws (w0,w1) and (w2,w3);
+    folding (hi*2^32 + lo) mod p in VMEM halves the HBM bytes written
+    and removes the separate read-back fold pass the consumer would run
+    (the keystream itself never reaches HBM).  Output [Wt, 64] uint32,
+    col = 2b + j == flat u64-draw order of the stream.
+    """
+    words = _v2_group_words(start_ref, rk_ref, const_ref, meta_ref,
+                            tile_w=tile_w)
+    f0 = modp.fold64_mod_p(words[1], words[0])  # [32(b), Wt]
+    f1 = modp.fold64_mod_p(words[3], words[2])
+    w = jnp.stack([f0, f1], axis=1)  # [32(b), 2(j), Wt]
+    out_ref[0] = w.reshape(64, tile_w).T  # [Wt, 64], col = 2b+j
 
 
 def make_key_pallas(seed: bytes) -> dict:
@@ -388,6 +416,51 @@ def keystream_words(
         interpret=interpret,
     )(jnp.stack([lo, hi]), key["rk_rm"], key["const_rm2"], _v2_meta_jnp())
     return out.reshape(-1)[: 4 * nblocks]
+
+
+def keystream_fold_p(
+    key: dict, start_ctr, npairs: int, *, tile_w: int = 512,
+    interpret: bool = False
+) -> jnp.ndarray:
+    """uint32 [npairs]: (w_{2k+1}·2^32 + w_{2k}) mod p over stream words.
+
+    The fused form of ``fold64_mod_p(keystream_words(...))`` — the
+    uniform-mod-p u64 draw stream of rand_modp / the nmod_poly coercion
+    (src/lwe.h:97-103, src/ssp.c:28-34) — with the fold running in VMEM
+    inside the cipher kernel, so HBM sees only the folded values (half
+    the keystream bytes, no read-back pass).  ``start_ctr`` is the
+    counter of the first block consumed; draw k reads words 2k, 2k+1.
+    """
+    if isinstance(start_ctr, (tuple, list)):
+        lo, hi = start_ctr
+        lo = jnp.asarray(lo, jnp.uint32)
+        hi = jnp.asarray(hi, jnp.uint32)
+    else:
+        c = int(start_ctr)
+        lo = jnp.uint32(c & 0xFFFFFFFF)
+        hi = jnp.uint32(c >> 32)
+    pairs_per_tile = tile_w * 64
+    ntiles = -(-npairs // pairs_per_tile)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2_fold, tile_w=tile_w),
+        out_shape=jax.ShapeDtypeStruct((ntiles, tile_w, 64), jnp.uint32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (15, 8, 16, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, 16, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, 4, 16, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_w, 64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(jnp.stack([lo, hi]), key["rk_rm"], key["const_rm2"], _v2_meta_jnp())
+    return out.reshape(-1)[:npairs]
 
 
 def keystream_bytes(

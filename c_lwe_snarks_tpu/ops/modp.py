@@ -52,9 +52,18 @@ def mulmod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def fold64_mod_p(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
-    """(hi * 2^32 + lo) mod p for arbitrary uint32 halves (2^32 ≡ 5)."""
-    h2, l2 = mul32(hi, _U(5))
-    return addmod_p(addmod_p(lo, l2), _U(5) * h2)
+    """(hi * 2^32 + lo) mod p for arbitrary uint32 halves (2^32 ≡ 5).
+
+    5*hi is only 35 bits, so its (carry, low-word) split needs two shifts
+    and an overflow test — not a full 32x32 mul32 (measured: the mul32
+    form cost ~40 ms per 716M folds inside the keystream kernel where
+    every op competes with AES for VPU issue slots).
+    """
+    hi = hi.astype(_U)
+    s4 = hi << 2
+    lo5 = s4 + hi  # low word of 5*hi
+    c = (hi >> 30) + (lo5 < s4).astype(_U)  # carry word of 5*hi, <= 4
+    return addmod_p(addmod_p(lo, lo5), _U(5) * c)
 
 
 def bytes_to_u64_mod_p(b: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import aes_pallas, aes_tpu
+from . import aes_pallas, aes_tpu, modp
 
 
 class PRGKey:
@@ -180,6 +180,26 @@ def keystream_words(
     return jax.lax.bitcast_convert_type(
         ks.reshape(nblocks, 4, 4), jnp.uint32
     ).reshape(-1)
+
+
+def keystream_fold_p(
+    key: PRGKey, start_ctr, npairs: int, *, backend: str = "auto"
+) -> jnp.ndarray:
+    """uint32 [npairs] mod-p folds of consecutive u64-LE stream words.
+
+    Draw k is (word[2k+1]·2^32 + word[2k]) mod p — the rand_modp /
+    nmod-coercion stream (src/lwe.h:97-103, src/ssp.c:28-34).  On TPU
+    the fold runs inside the cipher kernel (aes_pallas.keystream_fold_p)
+    so the raw keystream never touches HBM; the jnp path folds the word
+    stream and keeps bit-exact CPU coverage of the same consumers.
+    """
+    if backend == "auto":
+        backend = _default_backend()
+    if backend == "pallas":
+        return aes_pallas.keystream_fold_p(key.pallas_key, start_ctr, npairs)
+    words = keystream_words(key, start_ctr, -(-npairs // 2), backend=backend)
+    w = words[: 2 * npairs].reshape(npairs, 2)
+    return modp.fold64_mod_p(w[:, 1], w[:, 0])
 
 
 def expand_a(

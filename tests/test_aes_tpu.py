@@ -93,6 +93,47 @@ def test_pallas_keystream_counter_carry(pallas_key):
     assert np.array_equal(ks, ref)
 
 
+def test_pallas_keystream_fold_p_matches_oracle(pallas_key):
+    """Fused in-kernel u64→mod-p fold == folding the oracle's raw stream.
+
+    Covers a non-tile-multiple npairs (tail slice) and a traced counter
+    tuple (the gen_v_scan call pattern)."""
+    start, npairs = 4096, 8 * 64 * 3 + 17  # 3 full tiles (tile_w=8) + tail
+    got = np.asarray(
+        aes_pallas.keystream_fold_p(
+            pallas_key, start, npairs, tile_w=8, interpret=True
+        )
+    )
+    nblocks = -(-npairs // 2)
+    raw = host_aes.ctr_keystream(KEY32, NONCE, start, nblocks).reshape(-1)
+    w = raw.reshape(-1, 4).astype(np.uint64)
+    u64 = (w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)).reshape(
+        -1, 2
+    )
+    ref = ((u64[:, 1] << np.uint64(32)) | u64[:, 0]) % np.uint64((1 << 32) - 5)
+    assert np.array_equal(got, ref[:npairs].astype(np.uint32))
+
+
+def test_sampling_fold_p_backends_agree(pallas_key):
+    """sampling.keystream_fold_p: jnp fallback == pallas kernel (odd npairs,
+    counter-tuple start as used by the ssp scan)."""
+    from c_lwe_snarks_tpu.ops import sampling
+
+    key = sampling.PRGKey(SEED)
+    ctr = (jnp_u32(123), jnp_u32(0))
+    jnp_out = np.asarray(sampling.keystream_fold_p(key, ctr, 513, backend="jnp"))
+    pl_out = np.asarray(
+        aes_pallas.keystream_fold_p(pallas_key, ctr, 513, tile_w=4, interpret=True)
+    )
+    assert np.array_equal(jnp_out, pl_out)
+
+
+def jnp_u32(x):
+    import jax.numpy as jnp
+
+    return jnp.uint32(x)
+
+
 def test_pallas_keystream_bytes_section_offsets(pallas_key):
     """Byte-granular slicing at a block-aligned section base (like CTR_AS)."""
     off, n = 16 * 1000, 92 * 37
