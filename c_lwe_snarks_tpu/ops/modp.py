@@ -32,10 +32,30 @@ def mul32(a: jnp.ndarray, b: jnp.ndarray):
 
 
 def addmod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a + b) mod p for arbitrary uint32 a, b."""
+    """(a + b) mod p when at least ONE operand is < p (either side).
+
+    NOT safe for two arbitrary uint32 operands: if a + b >= 2^33 - 5 the
+    "+5" wrap correction itself wraps (e.g. a=2^32-1, b=2^32-4 returns 0,
+    not 5).  That sum is unreachable when min(a, b) < p, which every
+    in-repo call site satisfies; use add_u32_mod_p for two raw words.
+    """
     s = a + b
     s = jnp.where(s < a, s + _U(5), s)  # wrapped: +2^32 ≡ +5
     return jnp.where(s >= _U(P), s - _U(P), s)
+
+
+def add_u32_mod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a + b) mod p for two ARBITRARY uint32 words (explicit carry).
+
+    The double-wrap window addmod_p excludes (a + b in [2^33-5, 2^33-2])
+    is reachable from two raw stream words — at ~2^-30 per draw, i.e.
+    about once per release-scale random_ssp (716M folds) — so the hot
+    fold paths must pay the one extra compare this costs.
+    """
+    s = a + b
+    k = (s < a).astype(_U) * _U(5)  # carry word: +2^32 ≡ +5
+    s = jnp.where(s >= _U(P), s - _U(P), s)  # s < p (s - p <= 4 on wrap)
+    return addmod_p(s, k)  # s < p, k <= 5: in addmod_p's domain
 
 
 def submod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -44,11 +64,13 @@ def submod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def mulmod_p(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a * b) mod p for a, b < p (exact for all uint32 inputs)."""
+    """(a * b) mod p, exact for all uint32 inputs."""
     hi, lo = mul32(a, b)
     # a*b = hi*2^32 + lo ≡ 5*hi + lo;  5*hi = h2*2^32 + l2 ≡ 5*h2 + l2
     h2, l2 = mul32(hi, _U(5))
-    return addmod_p(addmod_p(lo, l2), _U(5) * h2)  # 5*h2 <= 20
+    # lo and l2 are both raw words: their add needs the full-range form
+    # (the double-wrap window is reachable from uint32 products)
+    return addmod_p(add_u32_mod_p(lo, l2), _U(5) * h2)  # 5*h2 <= 20
 
 
 def fold64_mod_p(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
@@ -63,7 +85,8 @@ def fold64_mod_p(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     s4 = hi << 2
     lo5 = s4 + hi  # low word of 5*hi
     c = (hi >> 30) + (lo5 < s4).astype(_U)  # carry word of 5*hi, <= 4
-    return addmod_p(addmod_p(lo, lo5), _U(5) * c)
+    # lo and lo5 are both raw words — full-range add (see add_u32_mod_p)
+    return addmod_p(add_u32_mod_p(lo, lo5), _U(5) * c)
 
 
 def bytes_to_u64_mod_p(b: jnp.ndarray) -> jnp.ndarray:

@@ -29,6 +29,38 @@ def test_mul32_exact():
     assert np.all(got == want)
 
 
+def test_add_u32_mod_p_double_wrap():
+    """The full-range add at the a+b in [2^33-5, 2^33-2] window where
+    addmod_p's "+5" correction itself wraps (regression: fold64/mulmod
+    fed two raw words through addmod_p and returned 0 instead of 5 at
+    lo=2^32-1, l2=2^32-4 — a ~2^-30-per-draw event at release scale)."""
+    a = np.array([0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFB, 0, 7],
+                 dtype=np.uint32)
+    b = np.array([0xFFFFFFFC, 0xFFFFFFFF, 0xFFFFFFFD, 0xFFFFFFFB, 0, 11],
+                 dtype=np.uint32)
+    got = np.asarray(jax.jit(modp.add_u32_mod_p)(jnp.asarray(a), jnp.asarray(b)))
+    want = (a.astype(object) + b.astype(object)) % P
+    assert np.all(got.astype(object) == want)
+    ra, rb = ru32(5000), ru32(5000)
+    got = np.asarray(jax.jit(modp.add_u32_mod_p)(jnp.asarray(ra), jnp.asarray(rb)))
+    assert np.all(got.astype(object) == (ra.astype(object) + rb.astype(object)) % P)
+
+
+def test_fold64_mod_p_exact():
+    """fold64's shift-based 5*hi split vs python ints, incl. the carry
+    boundaries of the (hi<<2)+hi overflow test (hi >= 2^30, wraps)."""
+    edge = np.array(
+        [0, 1, (1 << 30) - 1, 1 << 30, 0xC0000000, (1 << 32) - 1,
+         0xCCCCCCCC, 0x33333334],
+        dtype=np.uint32,
+    )
+    hi = np.concatenate([edge.repeat(len(edge)), ru32(4000)])
+    lo = np.concatenate([np.tile(edge, len(edge)), ru32(4000)])
+    got = np.asarray(jax.jit(modp.fold64_mod_p)(jnp.asarray(hi), jnp.asarray(lo)))
+    want = (hi.astype(object) * (1 << 32) + lo.astype(object)) % P
+    assert np.all(got.astype(object) == want)
+
+
 def test_scalar_mod_p_ops():
     a, b = ru32(300), ru32(300)
     am, bm = a % P, b % P
